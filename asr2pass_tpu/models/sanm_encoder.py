@@ -1,0 +1,79 @@
+"""SAN-M encoder (offline full-utterance and streaming chunk modes).
+
+Structure-equivalent to the encoder the reference drives through ONNX
+(SURVEY.md §2.1 #4/#5): input LFR+CMVN features are scaled by sqrt(d_model),
+summed with the 1-based sinusoidal position encoding (paraformer-online.cpp
+:240-268 formula), then N SAN-M blocks (self-attention + FSMN memory branch
++ FFN, pre-norm residuals) and a final LayerNorm.
+
+Streaming needs no separate weights: the reference's streaming encoder runs
+full attention over a [lookback, center, lookahead] overlap-chunk window
+(AddOverlapChunk, paraformer-online.cpp:397-413); we do the same by calling
+the encoder on the assembled chunk window, so one parameter set serves both
+paths.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from asr2pass_tpu.config import EncoderConfig
+from asr2pass_tpu.models.layers import (
+    dense,
+    dense_init,
+    ffn,
+    ffn_init,
+    layer_norm,
+    layer_norm_init,
+    length_mask,
+    sanm_attention,
+    sanm_attention_init,
+    sinusoidal_posenc,
+)
+
+
+def init(key, cfg: EncoderConfig):
+    keys = jax.random.split(key, cfg.num_blocks + 1)
+    layers = []
+    for i in range(cfg.num_blocks):
+        d_in = cfg.input_size if i == 0 else cfg.output_size
+        k1, k2 = jax.random.split(keys[i])
+        layers.append({
+            "ln1": layer_norm_init(d_in),
+            "att": sanm_attention_init(k1, d_in, cfg.output_size,
+                                       cfg.attention_heads, cfg.kernel_size),
+            "ln2": layer_norm_init(cfg.output_size),
+            "ffn": ffn_init(k2, cfg.output_size, cfg.linear_units),
+        })
+    return {"layers": layers, "after_norm": layer_norm_init(cfg.output_size)}
+
+
+def apply(params, feats, mask: Optional[jnp.ndarray] = None,
+          pos_start: int = 0, add_posenc: bool = True,
+          d_model: Optional[int] = None):
+    """feats: [B, T, input_size] LFR+CMVN features -> [B, T, d] encodings.
+
+    pos_start: absolute start index for the streaming positional encoding
+    (start_idx_cache_ role, paraformer-online.cpp:242-244).
+    """
+    b, t, d_in = feats.shape
+    if d_model is None:
+        d_model = params["layers"][0]["ffn"]["w1"]["w"].shape[0]
+    x = feats * math.sqrt(d_model)
+    if add_posenc:
+        x = x + sinusoidal_posenc(pos_start, t, d_in)[None]
+    for i, layer in enumerate(params["layers"]):
+        h = sanm_attention(layer["att"], layer_norm(layer["ln1"], x), mask)
+        x = h if i == 0 and d_in != h.shape[-1] else x + h
+        x = x + ffn(layer["ffn"], layer_norm(layer["ln2"], x))
+        if mask is not None:
+            x = x * mask[..., None]
+    return layer_norm(params["after_norm"], x)
+
+
+def apply_with_lengths(params, feats, lengths, **kw):
+    mask = length_mask(lengths, feats.shape[1])
+    return apply(params, feats, mask, **kw), mask
