@@ -158,11 +158,11 @@ def fsmn_apply_cached(p, x, cache, valid_len=None):
 
 def sanm_attention_init(key, d_in: int, d: int, heads: int, kernel: int):
     k1, k2, k3 = jax.random.split(key, 3)
+    del heads  # head count is architecture config, passed at apply time
     return {
         "qkv": dense_init(k1, d_in, 3 * d),
         "out": dense_init(k2, d, d),
         "fsmn": fsmn_init(k3, d, kernel),
-        "heads": np.int32(heads),
     }
 
 
@@ -176,14 +176,13 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * dk)
 
 
-def sanm_attention(p, x, mask=None, att_mask=None):
+def sanm_attention(p, x, heads: int, mask=None, att_mask=None):
     """SAN-M self-attention.
 
     x: [B, T, Din]; mask: [B, T] padding mask; att_mask: [B, T, T] or
     [T, T] additional attention mask (chunk masks for streaming).
     Returns [B, T, D].
     """
-    heads = int(p["heads"])
     qkv = dense(p["qkv"], x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     mem = fsmn_apply(p["fsmn"], v, mask)
@@ -208,17 +207,16 @@ def sanm_attention(p, x, mask=None, att_mask=None):
 
 def cross_attention_init(key, d: int, d_mem: int, heads: int):
     k1, k2, k3 = jax.random.split(key, 3)
+    del heads  # head count is architecture config, passed at apply time
     return {
         "q": dense_init(k1, d, d),
         "kv": dense_init(k2, d_mem, 2 * d),
         "out": dense_init(k3, d, d),
-        "heads": np.int32(heads),
     }
 
 
-def cross_attention(p, x, mem, mem_mask=None):
+def cross_attention(p, x, mem, heads: int, mem_mask=None):
     """x: [B, T, D] queries; mem: [B, S, Dm] keys/values."""
-    heads = int(p["heads"])
     q = dense(p["q"], x)
     kv = dense(p["kv"], mem)
     k, v = jnp.split(kv, 2, axis=-1)

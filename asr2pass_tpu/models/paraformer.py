@@ -51,7 +51,8 @@ def apply(params, cfg: ParaformerConfig, feats, lengths,
     """
     mask = length_mask(lengths, feats.shape[1])
     enc = sanm_encoder.apply(params["encoder"], feats, mask,
-                             d_model=cfg.encoder.output_size)
+                             d_model=cfg.encoder.output_size,
+                             heads=cfg.encoder.attention_heads)
     alphas = cif.alphas_head(params["predictor"], enc, cfg.predictor, mask)
     ac_embeds, token_num, _ = cif.fire_offline(
         enc, alphas, cfg.predictor.threshold, cfg.predictor.tail_threshold

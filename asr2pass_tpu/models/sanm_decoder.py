@@ -66,8 +66,8 @@ def init(key, cfg: DecoderConfig, d_model: int, vocab_size: int,
     return params
 
 
-def _block(layer, x, enc, enc_mask, mask, cache=None, causal_left=None,
-           valid_len=None):
+def _block(layer, x, enc, enc_mask, mask, heads=4, cache=None,
+           causal_left=None, valid_len=None):
     h = layer_norm(layer["ln1"], x)
     if cache is not None:
         if mask is not None:
@@ -78,7 +78,7 @@ def _block(layer, x, enc, enc_mask, mask, cache=None, causal_left=None,
         h = fsmn_apply(layer["fsmn"], h, mask, left=causal_left)
     x = x + h
     x = x + cross_attention(layer["cross"], layer_norm(layer["ln2"], x),
-                            enc, enc_mask)
+                            enc, heads, enc_mask)
     x = x + ffn(layer["ffn"], layer_norm(layer["ln3"], x))
     if mask is not None:
         x = x * mask[..., None]
@@ -86,20 +86,24 @@ def _block(layer, x, enc, enc_mask, mask, cache=None, causal_left=None,
 
 
 def apply(params, ac_embeds, enc, enc_mask=None, mask=None,
-          hw_emb=None, hw_mask=None, cfg: Optional[DecoderConfig] = None):
+          hw_emb=None, hw_mask=None, heads: int = 4,
+          cfg: Optional[DecoderConfig] = None):
     """Offline pass. ac_embeds: [B, U, D] CIF embeddings; enc: [B, T, D].
 
     Returns logits [B, U, vocab]. FSMN blocks run fully causal (left =
     kernel-1) so offline and streaming decoders share semantics.
     """
+    if cfg is not None:
+        heads = cfg.attention_heads
     kernel = params["layers"][0]["fsmn"]["taps"].shape[0]
     x = ac_embeds
     for layer in params["layers"]:
-        x, _ = _block(layer, x, enc, enc_mask, mask, causal_left=kernel - 1)
+        x, _ = _block(layer, x, enc, enc_mask, mask, heads=heads,
+                      causal_left=kernel - 1)
     if hw_emb is not None and "hotword" in params:
         x = x + cross_attention(params["hotword"]["cross"],
                                 layer_norm(params["hotword"]["ln"], x),
-                                hw_emb, hw_mask)
+                                hw_emb, heads, hw_mask)
     x = layer_norm(params["after_norm"], x)
     return dense(params["out"], x)
 
@@ -115,7 +119,7 @@ def init_caches(params, batch: int) -> List[jnp.ndarray]:
 
 def apply_streaming(params, ac_embeds, enc, caches,
                     enc_mask=None, mask=None, valid_len=None,
-                    hw_emb=None, hw_mask=None
+                    hw_emb=None, hw_mask=None, heads: int = 4
                     ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """Chunk pass with FSMN cache carry. Same math as `apply` when the
     chunks are concatenated (tested in tests/test_models.py). valid_len [B]
@@ -123,12 +127,12 @@ def apply_streaming(params, ac_embeds, enc, caches,
     x = ac_embeds
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
-        x, nc = _block(layer, x, enc, enc_mask, mask, cache=cache,
-                       valid_len=valid_len)
+        x, nc = _block(layer, x, enc, enc_mask, mask, heads=heads,
+                       cache=cache, valid_len=valid_len)
         new_caches.append(nc)
     if hw_emb is not None and "hotword" in params:
         x = x + cross_attention(params["hotword"]["cross"],
                                 layer_norm(params["hotword"]["ln"], x),
-                                hw_emb, hw_mask)
+                                hw_emb, heads, hw_mask)
     x = layer_norm(params["after_norm"], x)
     return dense(params["out"], x), new_caches

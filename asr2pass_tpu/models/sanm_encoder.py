@@ -53,7 +53,7 @@ def init(key, cfg: EncoderConfig):
 
 def apply(params, feats, mask: Optional[jnp.ndarray] = None,
           pos_start: int = 0, add_posenc: bool = True,
-          d_model: Optional[int] = None):
+          d_model: Optional[int] = None, heads: int = 4):
     """feats: [B, T, input_size] LFR+CMVN features -> [B, T, d] encodings.
 
     pos_start: absolute start index for the streaming positional encoding
@@ -66,7 +66,8 @@ def apply(params, feats, mask: Optional[jnp.ndarray] = None,
     if add_posenc:
         x = x + sinusoidal_posenc(pos_start, t, d_in)[None]
     for i, layer in enumerate(params["layers"]):
-        h = sanm_attention(layer["att"], layer_norm(layer["ln1"], x), mask)
+        h = sanm_attention(layer["att"], layer_norm(layer["ln1"], x),
+                           heads, mask)
         x = h if i == 0 and d_in != h.shape[-1] else x + h
         x = x + ffn(layer["ffn"], layer_norm(layer["ln2"], x))
         if mask is not None:
