@@ -1,0 +1,88 @@
+"""Punctuation tests: tokenizer, VadMask, offline window mechanics,
+streaming cache behavior (model weights are random — mechanics, not punc
+quality, are under test)."""
+import jax
+import numpy as np
+
+from asr2pass_tpu.config import punc_tiny
+from asr2pass_tpu.models import ct_transformer
+from asr2pass_tpu.runtime.punc import Punctuator
+from asr2pass_tpu.text.punc_tokenizer import (
+    DEFAULT_PUNC_LIST,
+    PuncTokenizer,
+)
+
+
+def _make():
+    cfg = punc_tiny(vocab_size=300)
+    params = ct_transformer.init(jax.random.PRNGKey(0), cfg)
+    toks = ["<blank>", "<unk>"] + [chr(0x4E00 + i) for i in range(200)]
+    toks += ["hello", "world", "the", "asr"]
+    tok = PuncTokenizer(toks)
+    return Punctuator(params, cfg, tok)
+
+
+def test_tokenizer_mixed_text():
+    p = _make()
+    text = "hello world" + chr(0x4E00) + chr(0x4E01)
+    tokens, ids = p.tok.tokenize(text)
+    assert tokens == ["hello", "world", chr(0x4E00), chr(0x4E01)]
+    assert all(isinstance(i, int) for i in ids)
+
+
+def test_tokenizer_unknown_falls_back():
+    p = _make()
+    tokens, ids = p.tok.tokenize("xyzzy")
+    assert tokens == ["xyzzy"]
+    assert ids == [p.tok.unk_id]
+
+
+def test_vad_mask_semantics():
+    m = ct_transformer.vad_mask(6, 3)
+    # rows 0..1 (cache) cannot see cols 3..5 (new text)
+    assert m[0, 3] == 0 and m[1, 5] == 0
+    # row 2 (vad_pos-1) and beyond can see everything
+    assert m[2].min() == 1 and m[3].min() == 1
+    # no-op cases
+    assert ct_transformer.vad_mask(4, 0).min() == 1
+    assert ct_transformer.vad_mask(4, 4).min() == 1
+
+
+def test_offline_preserves_tokens_and_terminates():
+    p = _make()
+    text = "".join(chr(0x4E00 + i % 150) for i in range(55))  # 3 windows
+    out = p.add_punc(text)
+    stripped = "".join(c for c in out if c not in DEFAULT_PUNC_LIST and c != " ")
+    assert stripped == text
+    assert out[-1] in ("。", "？")
+
+
+def test_offline_english_spacing():
+    p = _make()
+    out = p.add_punc("hello world")
+    stripped = "".join(c for c in out if c not in DEFAULT_PUNC_LIST)
+    assert "hello world" in stripped
+
+
+def test_streaming_grows_and_caches():
+    p = _make()
+    cache = []
+    t1 = "".join(chr(0x4E00 + i) for i in range(10))
+    out1 = p.add_punc_streaming(t1, cache)
+    s1 = "".join(c for c in out1 if c not in DEFAULT_PUNC_LIST and c != " ")
+    assert s1 == t1  # all new tokens emitted
+    # second call with more text: emits only the new tokens
+    t2 = "".join(chr(0x4E10 + i) for i in range(8))
+    out2 = p.add_punc_streaming(t2, cache)
+    s2 = "".join(c for c in out2 if c not in DEFAULT_PUNC_LIST and c != " ")
+    assert s2 == t2
+    # output never ends with punctuation (partial sentence keeps growing)
+    if out2:
+        assert out2[-1] not in DEFAULT_PUNC_LIST[2:]
+
+
+def test_streaming_empty_input():
+    p = _make()
+    cache = []
+    assert p.add_punc_streaming("", cache) == ""
+    assert p.add_punc("") == ""
