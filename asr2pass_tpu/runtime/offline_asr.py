@@ -1,0 +1,103 @@
+"""Offline (pass-2) recognizer wrapper: samples -> text (+ timestamps).
+
+Drives the offline Paraformer the way Paraformer::Forward does
+(paraformer.cpp:463-589): front-end -> model -> greedy -> detokenize, with
+the bicif timestamp path (TimestampOnnx + PostProcess) for timestamp
+models. Features are padded to length buckets so XLA compiles a handful of
+shapes regardless of VAD segment length variance (SURVEY.md §7
+"recompilation control"; the reference instead sorts segments by length,
+audio.cpp:1226-1239)."""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from asr2pass_tpu.config import ParaformerConfig
+from asr2pass_tpu.models import paraformer
+from asr2pass_tpu.runtime.streaming_frontend import offline_frontend
+from asr2pass_tpu.text import timestamps as ts_mod
+from asr2pass_tpu.text.vocab import Vocab
+
+# feature-length buckets (LFR frames, 60 ms each): 3.8 s .. 61 s
+_BUCKETS = [64, 128, 256, 512, 1024]
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // _BUCKETS[-1]) * _BUCKETS[-1]
+
+
+class ParaformerOffline:
+    def __init__(self, params, cfg: ParaformerConfig, vocab: Vocab,
+                 cmvn=None):
+        self.params = params
+        self.cfg = cfg
+        self.vocab = vocab
+        self.cmvn = cmvn if cmvn is not None else (None, None)
+
+    def _forward(self, feats_batch: np.ndarray, lengths: List[int],
+                 hw_emb: Optional[np.ndarray] = None):
+        b, t, d = feats_batch.shape
+        hw = hw_mask = None
+        if hw_emb is not None and "hotword" in self.params["decoder"]:
+            hw = jnp.asarray(np.broadcast_to(hw_emb[None], (b,) + hw_emb.shape))
+            hw_mask = jnp.ones((b, hw_emb.shape[0]), jnp.float32)
+        return paraformer.apply_jit(
+            self.params, self.cfg, jnp.asarray(feats_batch),
+            jnp.asarray(lengths, jnp.int32), hw, hw_mask,
+        )
+
+    def recognize_batch(self, segments: List[np.ndarray],
+                        hw_emb: Optional[np.ndarray] = None
+                        ) -> List[Tuple[str, List[List[float]]]]:
+        """Batch of raw-sample segments -> [(text, token_timestamps_s)].
+
+        Segments are grouped per feature bucket and run as true batches —
+        the TPU equivalent of FetchDynamic+GPU batching (audio.cpp:1052-1108,
+        paraformer-torch.cpp:301-420)."""
+        means, vars_ = self.cmvn
+        feats = [offline_frontend(s, self.cfg.frontend, means, vars_)
+                 for s in segments]
+        results: List[Optional[Tuple[str, List[List[float]]]]] = [None] * len(feats)
+        # group indices by bucket
+        groups = {}
+        for i, f in enumerate(feats):
+            if f.shape[0] == 0:
+                results[i] = ("", [])
+                continue
+            groups.setdefault(_bucket(f.shape[0]), []).append(i)
+        for bucket, idxs in groups.items():
+            batch = np.zeros((len(idxs), bucket, self.cfg.frontend.lfr_dim),
+                             np.float32)
+            lens = []
+            for k, i in enumerate(idxs):
+                f = feats[i]
+                batch[k, : f.shape[0]] = f
+                lens.append(f.shape[0])
+            out = self._forward(batch, lens, hw_emb)
+            ids, counts = paraformer.greedy_ids(out)
+            ids = np.asarray(ids)
+            counts = np.asarray(counts)
+            for k, i in enumerate(idxs):
+                n = int(counts[k])
+                tok_ids = [int(x) for x in ids[k, :n]]
+                if self.cfg.predictor.use_timestamp:
+                    char_list = self.vocab.to_char_list(tok_ids)
+                    us_alphas = np.asarray(out.us_alphas[k, : lens[k] * 3])
+                    us_peak = np.asarray(out.us_cif_peak[k, : lens[k] * 3])
+                    _, _, token_ts = ts_mod.timestamp_from_peaks(
+                        us_alphas, us_peak, list(char_list))
+                    text, merged = ts_mod.post_process(char_list, token_ts)
+                    results[i] = (text, merged)
+                else:
+                    results[i] = (self.vocab.to_string(tok_ids), [])
+        return [r if r is not None else ("", []) for r in results]
+
+    def recognize(self, samples: np.ndarray,
+                  hw_emb: Optional[np.ndarray] = None
+                  ) -> Tuple[str, List[List[float]]]:
+        return self.recognize_batch([samples], hw_emb)[0]
