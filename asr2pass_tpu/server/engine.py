@@ -1,0 +1,105 @@
+"""Server-side model registry + per-connection session factory.
+
+Role of the stream composers (offline-stream.cpp / tpass-stream.cpp /
+tpass-online-stream.cpp, SURVEY.md §2.1 #25): models are loaded once and
+shared read-only; each websocket connection gets its own TwoPassSession
+(per-connection VAD/ASR/punc caches, hotword embeddings), mirroring
+TpassOnlineStream-per-connection (websocket-server-2pass.h:49-65).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import numpy as np
+
+from asr2pass_tpu.config import (
+    ParaformerConfig,
+    PuncConfig,
+    VadConfig,
+)
+from asr2pass_tpu.runtime.asr_stream import ParaformerOnlineStream
+from asr2pass_tpu.runtime.offline_api import OfflineRecognizer
+from asr2pass_tpu.runtime.offline_asr import ParaformerOffline
+from asr2pass_tpu.runtime.punc import Punctuator
+from asr2pass_tpu.runtime.two_pass import TwoPassSession
+from asr2pass_tpu.runtime.vad_stream import FsmnVadStream
+from asr2pass_tpu.text.vocab import Vocab
+
+
+@dataclass
+class ServerModels:
+    """Everything loaded at server start (initAsr/FunTpassInit role)."""
+
+    asr_params: Any
+    asr_cfg: ParaformerConfig
+    vocab: Vocab
+    asr_cmvn: Any = None
+    online_params: Any = None          # defaults to asr_params (2pass share)
+    online_cfg: Optional[ParaformerConfig] = None
+    vad_params: Any = None
+    vad_cfg: Optional[VadConfig] = None
+    vad_cmvn: Any = None
+    punc_params: Any = None
+    punc_cfg: Optional[PuncConfig] = None
+    punc_tokenizer: Any = None
+    itn: Any = None
+    hotword_params: Any = None
+    hotword_cfg: Any = None
+
+    def _punctuator(self) -> Optional[Punctuator]:
+        if self.punc_params is None:
+            return None
+        return Punctuator(self.punc_params, self.punc_cfg,
+                          self.punc_tokenizer)
+
+    def compile_hotwords(self, hotwords: dict) -> Optional[np.ndarray]:
+        """hotword dict {word: score} -> [N, D] NN embeddings
+        (CompileHotwordEmbedding role, paraformer.cpp:592-693)."""
+        if self.hotword_params is None or not hotwords:
+            return None
+        from asr2pass_tpu.models import hotword as hw_mod
+
+        return hw_mod.compile_hotwords(
+            self.hotword_params, self.hotword_cfg, list(hotwords.keys()),
+            self.vocab,
+        )
+
+    def create_session(self, mode: str = "2pass",
+                       vad_tail_sil: Optional[int] = None,
+                       vad_max_len: Optional[int] = None,
+                       hw_emb: Optional[np.ndarray] = None,
+                       use_itn: bool = True) -> TwoPassSession:
+        assert self.vad_params is not None, "2pass/online needs a VAD model"
+        vad = FsmnVadStream(
+            self.vad_params, self.vad_cfg, cmvn=self.vad_cmvn, online=True,
+            max_end_sil=vad_tail_sil, max_single_segment=vad_max_len,
+        )
+        online = None
+        if mode != "offline":
+            ocfg = self.online_cfg or self.asr_cfg
+            oparams = (self.online_params if self.online_params is not None
+                       else self.asr_params)
+            online = ParaformerOnlineStream(
+                oparams, ocfg, Vocab(self.vocab.tokens, self.vocab.lang),
+                cmvn=self.asr_cmvn,
+            )
+        offline = None
+        if mode != "online":
+            offline = ParaformerOffline(self.asr_params, self.asr_cfg,
+                                        self.vocab, cmvn=self.asr_cmvn)
+        return TwoPassSession(
+            vad, online, offline, punc=self._punctuator(), itn=self.itn,
+            mode=mode, hw_emb=hw_emb, use_itn=use_itn,
+        )
+
+    def create_offline_recognizer(self, vad_tail_sil: int = 800,
+                                  vad_max_len: int = 60000
+                                  ) -> OfflineRecognizer:
+        asr = ParaformerOffline(self.asr_params, self.asr_cfg, self.vocab,
+                                cmvn=self.asr_cmvn)
+        return OfflineRecognizer(
+            asr, vad_params=self.vad_params, vad_cfg=self.vad_cfg,
+            vad_cmvn=self.vad_cmvn, punc=self._punctuator(), itn=self.itn,
+            vad_tail_sil=vad_tail_sil, vad_max_len=vad_max_len,
+        )

@@ -1,0 +1,226 @@
+"""Asyncio websocket ASR server — reference-protocol compatible.
+
+Speaks the exact JSON+binary protocol of the reference servers
+(README.md:95-190, websocket-server-2pass.cpp):
+  client -> first JSON {mode, chunk_size, chunk_interval, audio_fs,
+            wav_name, wav_format, is_speaking, hotwords, itn, svs_itn,
+            vad_tail_sil, vad_max_len, svs_lang}
+  client -> binary s16le PCM frames
+  client -> {"is_speaking": false} to end the utterance/file
+  server -> {"text", "mode": online|offline|2pass-online|2pass-offline,
+            "wav_name", "is_final"(, "timestamp", "stamp_sents")}
+
+Threading model: instead of the reference's decoder-thread pool with
+per-connection strands (funasr-wss-server-2pass.cpp:511-538), decoding runs
+on a single executor thread per process — the TPU itself is the shared
+compute resource and jitted steps batch internally; per-connection ordering
+falls out of one asyncio task per connection.
+"""
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional
+
+import numpy as np
+
+from asr2pass_tpu.frontend.audio import load_pcm_bytes, load_wav_bytes
+from asr2pass_tpu.server.engine import ServerModels
+
+log = logging.getLogger("asr2pass.server")
+
+
+def _parse_hotwords(msg) -> dict:
+    """Accept dict / json string / 'w1 w2' space form
+    (websocket-server-2pass.cpp:424-473)."""
+    if not msg:
+        return {}
+    if isinstance(msg, dict):
+        return {str(k): int(v) for k, v in msg.items()}
+    try:
+        d = json.loads(msg)
+        if isinstance(d, dict):
+            return {str(k): int(v) for k, v in d.items()}
+        if isinstance(d, list):
+            return {str(w): 20 for w in d}
+    except (json.JSONDecodeError, TypeError, ValueError):
+        pass
+    return {w: 20 for w in str(msg).split() if w}
+
+
+class ConnectionState:
+    def __init__(self):
+        self.mode = "2pass"
+        self.wav_name = "demo"
+        self.wav_format = "pcm"
+        self.audio_fs = 16000
+        self.itn = True
+        self.session = None
+        self.offline_buf = bytearray()
+        self.hw_emb = None
+        self.vad_tail_sil: Optional[int] = None
+        self.vad_max_len: Optional[int] = None
+        self.started = False
+
+
+class AsrWsServer:
+    def __init__(self, models: ServerModels, host: str = "0.0.0.0",
+                 port: int = 10095, decode_workers: int = 1,
+                 ssl_context=None):
+        self.models = models
+        self.host = host
+        self.port = port
+        self.ssl_context = ssl_context
+        self.executor = ThreadPoolExecutor(max_workers=decode_workers)
+        self._server = None
+
+    # -- decode helpers (run in executor) ------------------------------
+    def _feed(self, st: ConnectionState, samples, is_final: bool):
+        return st.session.feed(samples, is_final)
+
+    def _offline_decode(self, st: ConnectionState):
+        data = bytes(st.offline_buf)
+        if st.wav_format in ("pcm", "PCM"):
+            samples = load_pcm_bytes(data)
+        else:
+            try:
+                samples, fs = load_wav_bytes(data)
+                st.audio_fs = fs
+            except Exception:
+                samples = load_pcm_bytes(data)
+        if st.audio_fs != self.models.asr_cfg.frontend.fs:
+            from asr2pass_tpu.frontend.audio import linear_resample
+
+            samples = linear_resample(samples, st.audio_fs,
+                                      self.models.asr_cfg.frontend.fs)
+        rec = self.models.create_offline_recognizer(
+            vad_tail_sil=st.vad_tail_sil or 800,
+            vad_max_len=st.vad_max_len or 60000,
+        )
+        return rec.transcribe(samples, hw_emb=st.hw_emb, use_itn=st.itn)
+
+    # -- protocol ------------------------------------------------------
+    async def _send(self, ws, payload: dict):
+        await ws.send(json.dumps(payload, ensure_ascii=False))
+
+    async def _handle_json(self, ws, st: ConnectionState, obj: dict):
+        loop = asyncio.get_running_loop()
+        if not st.started:
+            st.mode = obj.get("mode", st.mode)
+            st.wav_name = obj.get("wav_name", st.wav_name)
+            st.wav_format = obj.get("wav_format", st.wav_format)
+            st.audio_fs = int(obj.get("audio_fs", st.audio_fs))
+            st.itn = bool(obj.get("itn", st.itn))
+            st.vad_tail_sil = obj.get("vad_tail_sil")
+            st.vad_max_len = obj.get("vad_max_len")
+            hotwords = _parse_hotwords(obj.get("hotwords"))
+            if hotwords:
+                st.hw_emb = self.models.compile_hotwords(hotwords)
+            if st.mode in ("2pass", "online"):
+                st.session = self.models.create_session(
+                    mode=st.mode, vad_tail_sil=st.vad_tail_sil,
+                    vad_max_len=st.vad_max_len, hw_emb=st.hw_emb,
+                    use_itn=st.itn,
+                )
+            st.started = True
+        if obj.get("is_speaking") is False:
+            if st.mode == "offline":
+                res = await loop.run_in_executor(
+                    self.executor, self._offline_decode, st)
+                payload = {
+                    "text": res.text, "mode": "offline",
+                    "wav_name": st.wav_name, "is_final": True,
+                }
+                if res.timestamps:
+                    payload["timestamp"] = json.dumps(res.timestamps)
+                    payload["stamp_sents"] = res.stamp_sents
+                await self._send(ws, payload)
+                st.offline_buf.clear()
+            else:
+                res = await loop.run_in_executor(
+                    self.executor, self._feed, st,
+                    np.zeros(0, np.float32), True)
+                await self._emit_stream_results(ws, st, res, is_final=True)
+                st.session.reset()
+            st.started = False
+
+    async def _emit_stream_results(self, ws, st: ConnectionState, res,
+                                   is_final: bool = False):
+        if st.mode == "online":
+            if res.partial:
+                await self._send(ws, {
+                    "text": res.partial, "mode": "online",
+                    "wav_name": st.wav_name, "is_final": False,
+                })
+        else:
+            if res.partial:
+                await self._send(ws, {
+                    "text": res.partial, "mode": "2pass-online",
+                    "wav_name": st.wav_name, "is_final": False,
+                })
+            if res.final_text:
+                payload = {
+                    "text": res.final_text, "mode": "2pass-offline",
+                    "wav_name": st.wav_name, "is_final": False,
+                }
+                if res.timestamps:
+                    payload["timestamp"] = json.dumps(res.timestamps)
+                    payload["stamp_sents"] = res.stamp_sents
+                await self._send(ws, payload)
+        if is_final:
+            await self._send(ws, {
+                "text": "", "mode": st.mode, "wav_name": st.wav_name,
+                "is_final": True,
+            })
+
+    async def _handle_binary(self, ws, st: ConnectionState, data: bytes):
+        if st.mode == "offline":
+            st.offline_buf.extend(data)
+            return
+        if st.session is None:
+            return
+        samples = load_pcm_bytes(data)
+        if st.audio_fs != self.models.asr_cfg.frontend.fs:
+            from asr2pass_tpu.frontend.audio import linear_resample
+
+            samples = linear_resample(samples, st.audio_fs,
+                                      self.models.asr_cfg.frontend.fs)
+        loop = asyncio.get_running_loop()
+        res = await loop.run_in_executor(self.executor, self._feed, st,
+                                         samples, False)
+        await self._emit_stream_results(ws, st, res)
+
+    async def handler(self, ws):
+        st = ConnectionState()
+        try:
+            async for message in ws:
+                if isinstance(message, (bytes, bytearray)):
+                    await self._handle_binary(ws, st, bytes(message))
+                else:
+                    try:
+                        obj = json.loads(message)
+                    except json.JSONDecodeError:
+                        log.warning("bad json: %r", message[:100])
+                        continue
+                    await self._handle_json(ws, st, obj)
+        except Exception as e:  # connection teardown
+            log.info("connection closed: %s", e)
+
+    async def serve(self):
+        import websockets
+
+        self._server = await websockets.serve(
+            self.handler, self.host, self.port, ssl=self.ssl_context,
+            max_size=1 << 30,
+        )
+        log.info("listening on %s:%d", self.host, self.port)
+        return self._server
+
+    def run_forever(self):
+        async def main():
+            await self.serve()
+            await asyncio.Future()
+
+        asyncio.run(main())

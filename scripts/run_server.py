@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Launch the websocket ASR server from model directories.
+
+Role of funasr-wss-server-2pass.cpp main (TCLAP flags at :40-170): point at
+model directories (our npz layout, see runtime/model_zoo.py) and serve the
+reference websocket protocol. With --demo, builds random-weight demo models
+(useful for protocol/load testing without trained weights).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import ssl
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model-dir", help="offline (pass-2) model directory")
+    p.add_argument("--online-model-dir", help="streaming model directory")
+    p.add_argument("--vad-dir", help="VAD model directory")
+    p.add_argument("--punc-dir", help="punctuation model directory")
+    p.add_argument("--itn", action="store_true", help="enable ITN")
+    p.add_argument("--hotword-file", default="")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=10095)
+    p.add_argument("--decode-workers", type=int, default=1)
+    p.add_argument("--certfile", default="")
+    p.add_argument("--keyfile", default="")
+    p.add_argument("--demo", action="store_true",
+                   help="random tiny models (protocol testing)")
+    args = p.parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    if args.demo:
+        import jax
+
+        from asr2pass_tpu.config import VadConfig, paraformer_tiny, punc_tiny
+        from asr2pass_tpu.models import ct_transformer, fsmn_vad, paraformer
+        from asr2pass_tpu.server.engine import ServerModels
+        from asr2pass_tpu.text.punc_tokenizer import PuncTokenizer
+        from asr2pass_tpu.text.vocab import make_test_vocab
+
+        acfg = paraformer_tiny()
+        models = ServerModels(
+            asr_params=paraformer.init(jax.random.PRNGKey(0), acfg),
+            asr_cfg=acfg,
+            vocab=make_test_vocab(acfg.vocab_size),
+            vad_params=fsmn_vad.init(jax.random.PRNGKey(1), VadConfig()),
+            vad_cfg=VadConfig(),
+            punc_params=ct_transformer.init(jax.random.PRNGKey(2),
+                                            punc_tiny(300)),
+            punc_cfg=punc_tiny(300),
+            punc_tokenizer=PuncTokenizer(
+                ["<blank>", "<unk>"]
+                + [chr(0x4E00 + i) for i in range(200)]),
+        )
+    else:
+        from asr2pass_tpu.runtime.model_zoo import load_offline_bundle
+        from asr2pass_tpu.server.engine import ServerModels
+
+        if not args.model_dir:
+            p.error("--model-dir required (or --demo)")
+        b = load_offline_bundle(args.model_dir)
+        models = ServerModels(asr_params=b.params, asr_cfg=b.cfg,
+                              vocab=b.vocab, asr_cmvn=b.cmvn)
+        if args.vad_dir:
+            from asr2pass_tpu.config import VadConfig
+            from asr2pass_tpu.frontend.audio import parse_kaldi_cmvn
+            from asr2pass_tpu.runtime.model_zoo import load_params
+
+            models.vad_cfg = VadConfig()
+            models.vad_params = load_params(
+                os.path.join(args.vad_dir, "weights.npz"))
+            mvn = os.path.join(args.vad_dir, "am.mvn")
+            if os.path.exists(mvn):
+                models.vad_cmvn = parse_kaldi_cmvn(mvn)
+        if args.punc_dir:
+            from asr2pass_tpu.config import PuncConfig
+            from asr2pass_tpu.runtime.model_zoo import load_params
+            from asr2pass_tpu.text.punc_tokenizer import PuncTokenizer
+
+            models.punc_cfg = PuncConfig()
+            models.punc_params = load_params(
+                os.path.join(args.punc_dir, "weights.npz"))
+            models.punc_tokenizer = PuncTokenizer.from_file(
+                os.path.join(args.punc_dir, "tokens.json"))
+    if args.itn:
+        from asr2pass_tpu.text.itn import ChineseITN
+
+        models.itn = ChineseITN()
+
+    ssl_ctx = None
+    if args.certfile:
+        ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ssl_ctx.load_cert_chain(args.certfile, args.keyfile or None)
+
+    from asr2pass_tpu.server.ws_server import AsrWsServer
+
+    AsrWsServer(models, host=args.host, port=args.port,
+                decode_workers=args.decode_workers,
+                ssl_context=ssl_ctx).run_forever()
+
+
+if __name__ == "__main__":
+    main()

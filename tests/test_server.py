@@ -1,0 +1,116 @@
+"""End-to-end websocket protocol tests: in-process server + client speaking
+the reference JSON/binary protocol (offline and 2pass modes)."""
+import asyncio
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from asr2pass_tpu.config import VadConfig, paraformer_tiny, punc_tiny
+from asr2pass_tpu.models import ct_transformer, fsmn_vad, paraformer
+from asr2pass_tpu.server.engine import ServerModels
+from asr2pass_tpu.server.ws_server import AsrWsServer, _parse_hotwords
+from asr2pass_tpu.text.punc_tokenizer import PuncTokenizer
+from asr2pass_tpu.text.vocab import make_test_vocab
+
+
+@pytest.fixture(scope="module")
+def models():
+    acfg = paraformer_tiny()
+    aparams = paraformer.init(jax.random.PRNGKey(0), acfg)
+    vcfg = VadConfig()
+    vparams = fsmn_vad.init(jax.random.PRNGKey(1), vcfg)
+    pcfg = punc_tiny(vocab_size=300)
+    pparams = ct_transformer.init(jax.random.PRNGKey(2), pcfg)
+    ptok = PuncTokenizer(
+        ["<blank>", "<unk>"] + [chr(0x4E00 + i) for i in range(200)])
+    return ServerModels(
+        asr_params=aparams, asr_cfg=acfg,
+        vocab=make_test_vocab(acfg.vocab_size),
+        vad_params=vparams, vad_cfg=vcfg,
+        punc_params=pparams, punc_cfg=pcfg, punc_tokenizer=ptok,
+    )
+
+
+def _pcm(seconds=2.0, seed=0):
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal(int(16000 * seconds)) * 0.1).clip(-1, 1)
+    return (x * 32767).astype("<i2").tobytes()
+
+
+async def _run_client(port, mode, pcm, chunk_ms=600):
+    import websockets
+
+    uri = f"ws://127.0.0.1:{port}"
+    msgs = []
+    async with websockets.connect(uri, max_size=1 << 30) as ws:
+        await ws.send(json.dumps({
+            "mode": mode, "chunk_size": [5, 10, 5], "chunk_interval": 10,
+            "audio_fs": 16000, "wav_name": "t", "wav_format": "pcm",
+            "is_speaking": True, "hotwords": "", "itn": True,
+        }))
+        stride = int(chunk_ms / 1000 * 16000 * 2)
+        for i in range(0, len(pcm), stride):
+            await ws.send(pcm[i: i + stride])
+        await ws.send(json.dumps({"is_speaking": False}))
+        while True:
+            msg = json.loads(await asyncio.wait_for(ws.recv(), timeout=120))
+            msgs.append(msg)
+            if msg.get("is_final"):
+                break
+    return msgs
+
+
+async def _with_server(models, coro_fn):
+    server = AsrWsServer(models, host="127.0.0.1", port=0)
+    srv = await server.serve()
+    port = srv.sockets[0].getsockname()[1]
+    try:
+        return await coro_fn(port)
+    finally:
+        srv.close()
+        await srv.wait_closed()
+        server.executor.shutdown(wait=False)
+
+
+def test_offline_mode_roundtrip(models):
+    async def run(port):
+        return await _run_client(port, "offline", _pcm(2.0))
+
+    msgs = asyncio.run(_with_server(models, run))
+    finals = [m for m in msgs if m.get("is_final")]
+    assert len(finals) == 1
+    assert finals[0]["mode"] == "offline"
+    assert finals[0]["wav_name"] == "t"
+    assert isinstance(finals[0]["text"], str)
+    # random-weight VAD says always-speech, so the model decodes something
+    assert len(finals[0]["text"]) > 0
+
+
+def test_2pass_mode_partials_and_finals(models):
+    async def run(port):
+        return await _run_client(port, "2pass", _pcm(2.5, seed=1))
+
+    msgs = asyncio.run(_with_server(models, run))
+    modes = {m.get("mode") for m in msgs}
+    assert "2pass-online" in modes        # pass-1 partials arrived
+    assert "2pass-offline" in modes       # pass-2 final arrived
+    assert msgs[-1]["is_final"] is True
+
+
+def test_online_mode(models):
+    async def run(port):
+        return await _run_client(port, "online", _pcm(2.0, seed=2))
+
+    msgs = asyncio.run(_with_server(models, run))
+    assert any(m.get("mode") == "online" and m.get("text") for m in msgs)
+    assert msgs[-1]["is_final"] is True
+
+
+def test_parse_hotwords_forms():
+    assert _parse_hotwords('{"阿里巴巴": 20}') == {"阿里巴巴": 20}
+    assert _parse_hotwords("w1 w2") == {"w1": 20, "w2": 20}
+    assert _parse_hotwords({"x": 5}) == {"x": 5}
+    assert _parse_hotwords('["a","b"]') == {"a": 20, "b": 20}
+    assert _parse_hotwords("") == {}
