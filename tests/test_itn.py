@@ -1,0 +1,80 @@
+"""ITN rule-engine tests over the reference's categories
+(date/fraction/money/measure/time + cardinals, itn-token-parser ITN_ORDERS)."""
+import pytest
+
+from asr2pass_tpu.text.itn import ChineseITN, parse_zh_number
+
+
+@pytest.fixture(scope="module")
+def itn():
+    return ChineseITN()
+
+
+@pytest.mark.parametrize("zh,expect", [
+    ("一", "1"),
+    ("十", "10"),
+    ("十五", "15"),
+    ("二十三", "23"),
+    ("一百二十三", "123"),
+    ("一千零一", "1001"),
+    ("三千五百", "3500"),
+    ("一万二千三百四十五", "12345"),
+    ("三万零五百", "30500"),
+    ("一亿", "100000000"),
+    ("两百", "200"),
+    ("二零二五", "2025"),
+    ("幺三五", "135"),
+])
+def test_parse_zh_number(zh, expect):
+    assert parse_zh_number(zh) == expect
+
+
+def test_cardinal(itn):
+    assert itn.normalize("我有一百二十三个苹果") == "我有123个苹果"
+
+
+def test_decimal(itn):
+    assert itn.normalize("三点一四") == "3.14"
+
+
+def test_percent(itn):
+    assert itn.normalize("百分之五十") == "50%"
+    assert itn.normalize("百分之三点五") == "3.5%"
+
+
+def test_fraction(itn):
+    assert itn.normalize("三分之二") == "2/3"
+
+
+def test_date(itn):
+    assert itn.normalize("二零二五年八月十七日") == "2025年8月17日"
+    assert itn.normalize("三月五号") == "3月5日"
+
+
+def test_time(itn):
+    assert itn.normalize("三点十五分") == "3:15"
+    assert itn.normalize("八点半") == "8:30"
+    assert itn.normalize("十二点零五分三十秒") == "12:05:30"
+
+
+def test_money(itn):
+    assert itn.normalize("五十块钱") == "50元"
+    assert itn.normalize("三点五元") == "3.5元"
+
+
+def test_mixed_sentence(itn):
+    out = itn.normalize("今天三月五号我花了五十块钱买了一百二十三个苹果")
+    assert "3月5日" in out
+    assert "50元" in out
+    assert "123个" in out
+
+
+def test_plain_text_unchanged(itn):
+    assert itn.normalize("你好世界") == "你好世界"
+    assert itn.normalize("hello world") == "hello world"
+    assert itn.normalize("") == ""
+
+
+def test_disabled_passthrough():
+    itn = ChineseITN(enable=False)
+    assert itn.normalize("一百") == "一百"
