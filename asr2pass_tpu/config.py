@@ -192,17 +192,20 @@ class SenseVoiceConfig:
         )
     )
     vocab_size: int = 25055
-    # meta prefix tokens (sensevoice-small.cpp:596-642)
-    lid_dict: dict = field(
-        default_factory=lambda: {
-            "auto": 0, "zh": 3, "en": 4, "yue": 7, "ja": 11, "ko": 12,
-            "nospeech": 13,
-        }
-    )
-    textnorm_dict: dict = field(
-        default_factory=lambda: {"withitn": 14, "woitn": 15}
-    )
+    # meta prefix tokens (sensevoice-small.cpp:596-642); tuples keep the
+    # config hashable for jit static args
+    lid_pairs: tuple = (("auto", 0), ("zh", 3), ("en", 4), ("yue", 7),
+                        ("ja", 11), ("ko", 12), ("nospeech", 13))
+    textnorm_pairs: tuple = (("withitn", 14), ("woitn", 15))
     blank_id: int = 0
+
+    @property
+    def lid_dict(self) -> dict:
+        return dict(self.lid_pairs)
+
+    @property
+    def textnorm_dict(self) -> dict:
+        return dict(self.textnorm_pairs)
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,69 @@
+"""SenseVoice-small: multilingual (zh/en/ja/ko/yue) non-autoregressive CTC
+model with meta prefix tokens.
+
+Role of sensevoice-small.cpp: the offline forward takes
+[feats, len, language-id, textnorm-id] (:596-642) and the decoder strips
+the first 4 meta outputs (language, emotion, event, textnorm — CTCSearch
+:323-377). Here: 4 learned query embeddings (lid and textnorm selected from
+per-option tables, emotion/event fixed queries) are prepended to the
+feature-projected sequence, a SAN-M encoder runs over [meta | frames], and
+a CTC head produces vocab logits.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from asr2pass_tpu.config import SenseVoiceConfig
+from asr2pass_tpu.models import sanm_encoder
+from asr2pass_tpu.models.layers import (
+    dense,
+    dense_init,
+    length_mask,
+)
+
+NUM_META = 4  # lid, emotion, event, textnorm prefix positions
+
+
+def init(key, cfg: SenseVoiceConfig):
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    d_in = cfg.encoder.input_size
+    n_lid = max(cfg.lid_dict.values()) + 1
+    n_tn = max(cfg.textnorm_dict.values()) + 1
+    return {
+        "encoder": sanm_encoder.init(k1, cfg.encoder),
+        "lid_embed": jax.random.normal(k2, (n_lid, d_in), jnp.float32) * 0.02,
+        "tn_embed": jax.random.normal(k3, (n_tn, d_in), jnp.float32) * 0.02,
+        "query_embed": jax.random.normal(k4, (2, d_in), jnp.float32) * 0.02,
+        "ctc": dense_init(k5, cfg.encoder.output_size, cfg.vocab_size),
+    }
+
+
+class SenseVoiceOutput(NamedTuple):
+    logits: jnp.ndarray     # [B, 4+T, V]
+    lengths: jnp.ndarray    # [B] valid positions incl. meta
+
+
+def apply(params, cfg: SenseVoiceConfig, feats, lengths, lid_ids, tn_ids
+          ) -> SenseVoiceOutput:
+    """feats: [B, T, lfr_dim]; lid_ids/tn_ids: [B] meta token ids."""
+    b, t, d_in = feats.shape
+    lid = jnp.take(params["lid_embed"], lid_ids, axis=0)[:, None, :]
+    tn = jnp.take(params["tn_embed"], tn_ids, axis=0)[:, None, :]
+    queries = jnp.broadcast_to(params["query_embed"][None], (b, 2, d_in))
+    x = jnp.concatenate([lid, queries, tn, feats], axis=1)
+    full_len = lengths + NUM_META
+    mask = length_mask(full_len, t + NUM_META)
+    enc = sanm_encoder.apply(params["encoder"], x, mask,
+                             d_model=cfg.encoder.output_size,
+                             heads=cfg.encoder.attention_heads)
+    logits = dense(params["ctc"], enc)
+    return SenseVoiceOutput(logits=logits, lengths=full_len)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def apply_jit(params, cfg: SenseVoiceConfig, feats, lengths, lid_ids, tn_ids):
+    return apply(params, cfg, feats, lengths, lid_ids, tn_ids)

@@ -1,0 +1,110 @@
+"""SenseVoice recognizer wrapper: pass-2-compatible multilingual CTC.
+
+Role of the SenseVoice paths in sensevoice-small.cpp: offline forward with
+language/textnorm meta ids (:596-642), greedy CTC (:323-377) or context-
+graph-boosted prefix beam search (:392-440). Exposes the same
+recognize/recognize_batch interface as ParaformerOffline so it drops into
+OfflineRecognizer and TwoPassSession as the pass-2 model.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from asr2pass_tpu.config import SenseVoiceConfig
+from asr2pass_tpu.decode.context_graph import ContextGraph
+from asr2pass_tpu.decode.ctc import ctc_greedy, ctc_prefix_beam_search
+from asr2pass_tpu.models import sensevoice
+from asr2pass_tpu.models.sensevoice import NUM_META
+from asr2pass_tpu.runtime.streaming_frontend import offline_frontend
+from asr2pass_tpu.text.vocab import Vocab
+
+_BUCKETS = [64, 128, 256, 512, 1024]
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // _BUCKETS[-1]) * _BUCKETS[-1]
+
+
+class SenseVoiceOffline:
+    def __init__(self, params, cfg: SenseVoiceConfig, vocab: Vocab,
+                 cmvn=None, lang: str = "auto", use_itn_token: bool = True,
+                 context: Optional[ContextGraph] = None, beam: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.vocab = vocab
+        self.cmvn = cmvn if cmvn is not None else (None, None)
+        self.lang = lang
+        self.use_itn_token = use_itn_token
+        self.context = context
+        self.beam = beam
+
+    def set_lang(self, lang: str):
+        self.lang = lang
+
+    def _meta_ids(self, n: int):
+        lid = self.cfg.lid_dict.get(self.lang, self.cfg.lid_dict["auto"])
+        tn = (self.cfg.textnorm_dict["withitn"] if self.use_itn_token
+              else self.cfg.textnorm_dict["woitn"])
+        return (np.full(n, lid, np.int32), np.full(n, tn, np.int32))
+
+    def _decode(self, logits: np.ndarray, length: int) -> List[int]:
+        if self.beam > 1 or self.context is not None:
+            logp = logits[:length] - _logsumexp(logits[:length])
+            nbest = ctc_prefix_beam_search(
+                logp[NUM_META:], length - NUM_META,
+                beam=max(self.beam, 10), blank_id=self.cfg.blank_id,
+                context=self.context,
+                id_to_token=self.vocab.id2token,
+            )
+            return nbest[0][0] if nbest else []
+        ids, _ = ctc_greedy(logits, length, blank_id=self.cfg.blank_id,
+                            skip_first=NUM_META)
+        return ids
+
+    def recognize_batch(self, segments: List[np.ndarray], hw_emb=None
+                        ) -> List[Tuple[str, list]]:
+        means, vars_ = self.cmvn
+        feats = [offline_frontend(s, self.cfg.frontend, means, vars_)
+                 for s in segments]
+        results: List[Optional[Tuple[str, list]]] = [None] * len(feats)
+        groups = {}
+        for i, f in enumerate(feats):
+            if f.shape[0] == 0:
+                results[i] = ("", [])
+                continue
+            groups.setdefault(_bucket(f.shape[0]), []).append(i)
+        for bucket, idxs in groups.items():
+            batch = np.zeros((len(idxs), bucket, self.cfg.frontend.lfr_dim),
+                             np.float32)
+            lens = []
+            for k, i in enumerate(idxs):
+                batch[k, : feats[i].shape[0]] = feats[i]
+                lens.append(feats[i].shape[0])
+            lid, tn = self._meta_ids(len(idxs))
+            out = sensevoice.apply_jit(
+                self.params, self.cfg, jnp.asarray(batch),
+                jnp.asarray(lens, jnp.int32), jnp.asarray(lid),
+                jnp.asarray(tn),
+            )
+            logits = np.asarray(out.logits)
+            lengths = np.asarray(out.lengths)
+            for k, i in enumerate(idxs):
+                ids = self._decode(logits[k], int(lengths[k]))
+                text = self.vocab.to_string(ids)
+                results[i] = (text, [])
+        return [r if r is not None else ("", []) for r in results]
+
+    def recognize(self, samples: np.ndarray, hw_emb=None
+                  ) -> Tuple[str, list]:
+        return self.recognize_batch([samples], hw_emb)[0]
+
+
+def _logsumexp(x: np.ndarray) -> np.ndarray:
+    m = x.max(axis=-1, keepdims=True)
+    return m + np.log(np.exp(x - m).sum(axis=-1, keepdims=True))

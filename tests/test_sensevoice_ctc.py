@@ -1,0 +1,129 @@
+"""SenseVoice model, CTC decoders, context graph, hotword compiler tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asr2pass_tpu.config import HotwordConfig, sensevoice_tiny
+from asr2pass_tpu.decode.context_graph import ContextGraph
+from asr2pass_tpu.decode.ctc import ctc_greedy, ctc_prefix_beam_search
+from asr2pass_tpu.models import hotword as hw_mod
+from asr2pass_tpu.models import sensevoice
+from asr2pass_tpu.runtime.sensevoice_asr import SenseVoiceOffline
+from asr2pass_tpu.text.vocab import make_test_vocab
+
+
+def test_ctc_greedy_collapse():
+    v = 5
+    seq = [0, 1, 1, 0, 2, 2, 2, 3, 0, 3]
+    logits = np.full((len(seq), v), -10.0, np.float32)
+    for t, s in enumerate(seq):
+        logits[t, s] = 10.0
+    ids, times = ctc_greedy(logits, len(seq), blank_id=0)
+    assert ids == [1, 2, 3, 3]
+    assert times == [1, 4, 7, 9]
+
+
+def test_ctc_greedy_skip_first_meta():
+    logits = np.full((6, 4), -10.0, np.float32)
+    for t, s in enumerate([3, 3, 3, 3, 1, 2]):
+        logits[t, s] = 10.0
+    ids, _ = ctc_greedy(logits, 6, blank_id=0, skip_first=4)
+    assert ids == [1, 2]
+
+
+def test_prefix_beam_matches_greedy_on_peaked():
+    rng = np.random.default_rng(0)
+    v, t = 8, 12
+    seq = [0, 3, 0, 5, 5, 0, 2, 0, 7, 0, 1, 0]
+    logp = np.full((t, v), -15.0, np.float32)
+    for i, s in enumerate(seq):
+        logp[i, s] = -0.01
+    nbest = ctc_prefix_beam_search(logp, t, beam=5, blank_id=0)
+    greedy_ids, _ = ctc_greedy(logp, t, blank_id=0)
+    assert nbest[0][0] == greedy_ids
+
+
+def test_prefix_beam_repeat_handling():
+    # a a (same token twice separated by blank) vs aa collapse
+    logp = np.full((3, 3), -15.0, np.float32)
+    logp[0, 1] = -0.01   # a
+    logp[1, 0] = -0.01   # blank
+    logp[2, 1] = -0.01   # a
+    nbest = ctc_prefix_beam_search(logp, 3, beam=4, blank_id=0)
+    assert nbest[0][0] == [1, 1]
+
+
+def test_context_graph_boosts_hotword():
+    cg = ContextGraph(context_score=5.0).build({"你好": None})
+    s, d1, _ = cg.get_next_state(None, "你")
+    assert d1 > 0
+    s, d2, matched = cg.get_next_state(s, "好")
+    assert matched
+    # falling off a partial match retracts
+    s2, d, _ = cg.get_next_state(None, "你")
+    s3, dneg, _ = cg.get_next_state(s2, "再")
+    assert dneg < 0
+    assert abs(cg.final_retract(s2)) == d1
+
+
+def test_context_graph_biases_beam_search():
+    """With two near-tied hypotheses, the hotword boost must flip the
+    winner."""
+    vocab = make_test_vocab(8)
+    # tokens 4,5 spell two CJK chars; make 4->5 and 4->6 nearly tied
+    logp = np.full((2, 8), -12.0, np.float32)
+    logp[0, 4] = -0.01
+    logp[1, 5] = -0.70
+    logp[1, 6] = -0.69   # slightly better without context
+    plain = ctc_prefix_beam_search(logp, 2, beam=4, blank_id=0)
+    assert plain[0][0] == [4, 6]
+    hot = vocab.id2token(4) + vocab.id2token(5)
+    cg = ContextGraph(context_score=3.0).build({hot: None})
+    boosted = ctc_prefix_beam_search(logp, 2, beam=4, blank_id=0,
+                                     context=cg,
+                                     id_to_token=vocab.id2token)
+    assert boosted[0][0] == [4, 5]
+
+
+def test_sensevoice_forward_shapes():
+    cfg = sensevoice_tiny()
+    params = sensevoice.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((2, 20, cfg.encoder.input_size)).astype(np.float32)
+    out = sensevoice.apply(params, cfg, jnp.asarray(feats),
+                           jnp.asarray([20, 15]),
+                           jnp.asarray([3, 4]), jnp.asarray([14, 15]))
+    assert out.logits.shape == (2, 24, cfg.vocab_size)
+    assert int(out.lengths[0]) == 24 and int(out.lengths[1]) == 19
+
+
+def test_sensevoice_recognizer_end_to_end():
+    cfg = sensevoice_tiny()
+    params = sensevoice.init(jax.random.PRNGKey(0), cfg)
+    rec = SenseVoiceOffline(params, cfg, make_test_vocab(cfg.vocab_size),
+                            lang="zh")
+    rng = np.random.default_rng(2)
+    wave = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    text, ts = rec.recognize(wave)
+    assert isinstance(text, str)
+    # language id changes the meta conditioning -> usually different output
+    rec.set_lang("en")
+    text_en, _ = rec.recognize(wave)
+    assert isinstance(text_en, str)
+
+
+def test_hotword_compiler_shapes():
+    cfg = HotwordConfig(vocab_size=64, embed_dim=16, hidden_dim=16)
+    params = hw_mod.init(jax.random.PRNGKey(0), cfg)
+    vocab = make_test_vocab(64)
+    words = [vocab.id2token(10) + vocab.id2token(11), vocab.id2token(12)]
+    emb = hw_mod.compile_hotwords(params, cfg, words, vocab)
+    assert emb.shape == (3, 16)  # null + 2 hotwords
+    # different lengths produce different rows
+    assert not np.allclose(emb[1], emb[2])
+
+
+def test_hotword_tokenize_mixed():
+    vocab = make_test_vocab(64)
+    ids = hw_mod.tokenize_hotword(vocab.id2token(5) + "abc", vocab)
+    assert len(ids) == 2  # CJK char + <unk> latin word
