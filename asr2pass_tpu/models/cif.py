@@ -52,10 +52,9 @@ def _context_conv(p, x, l_order: int, r_order: int):
     t = x.shape[1]
     out = None
     for k in range(kernel):
-        y = jnp.dot(pad[:, k: k + t, :], p["w"][k],
-                    preferred_element_type=jnp.float32)
+        y = jnp.dot(pad[:, k: k + t, :], p["w"][k].astype(x.dtype))
         out = y if out is None else out + y
-    return out + p["b"]
+    return out + p["b"].astype(x.dtype)
 
 
 def alphas_head(params, enc, cfg: PredictorConfig,

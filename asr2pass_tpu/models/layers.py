@@ -45,9 +45,11 @@ def dense_init(key, d_in: int, d_out: int, bias: bool = True):
 
 
 def dense(p, x):
-    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    # output dtype follows the input (bf16 in the serving path); the MXU
+    # accumulates fp32 internally regardless
+    y = jnp.dot(x, p["w"].astype(x.dtype))
     if "b" in p:
-        y = y + p["b"]
+        y = y + p["b"].astype(x.dtype)
     return y
 
 
@@ -56,9 +58,12 @@ def layer_norm_init(d: int):
 
 
 def layer_norm(p, x, eps: float = 1e-12):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+    # statistics in fp32 even when activations are bf16
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+    return y.astype(x.dtype)
 
 
 def embedding_init(key, vocab: int, d: int):
@@ -106,18 +111,19 @@ def fsmn_apply(p, x, mask=None, left: Optional[int] = None):
     kernel. Inner residual: out = x + conv(x), masked.
     """
     kernel = p["taps"].shape[0]
+    taps = p["taps"].astype(x.dtype)
     if left is None:
         left = (kernel - 1) // 2
     right = kernel - 1 - left
     if mask is not None:
-        x = x * mask[..., None]
+        x = x * mask[..., None].astype(x.dtype)
     pad = jnp.pad(x, ((0, 0), (left, right), (0, 0)))
     # depthwise conv as sum of shifted scaled copies — XLA fuses this into a
     # few vector ops; T is small per step and D rides the lane dimension.
     t = x.shape[1]
     out = jnp.zeros_like(x)
     for k in range(kernel):
-        out = out + pad[:, k: k + t, :] * p["taps"][k]
+        out = out + pad[:, k: k + t, :] * taps[k]
     out = x + out
     if mask is not None:
         out = out * mask[..., None]
@@ -134,12 +140,13 @@ def fsmn_apply_cached(p, x, cache, valid_len=None):
     Equivalent role to the per-layer [1, fsmn_dims, fsmn_lorder] ONNX cache
     tensors (paraformer-online.cpp:374-383,500-511)."""
     kernel = p["taps"].shape[0]
+    taps = p["taps"].astype(x.dtype)
     lorder = kernel - 1
     t = x.shape[1]
-    ext = jnp.concatenate([cache, x], axis=1)  # [B, lorder+T, D]
+    ext = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
     out = jnp.zeros_like(x)
     for k in range(kernel):
-        out = out + ext[:, k: k + t, :] * p["taps"][k]
+        out = out + ext[:, k: k + t, :] * taps[k]
     out = x + out
     if lorder == 0:
         return out, cache
@@ -190,14 +197,15 @@ def sanm_attention(p, x, heads: int, mask=None, att_mask=None):
     qh = _split_heads(q, heads)
     kh = _split_heads(k, heads)
     vh = _split_heads(v, heads)
-    scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh, precision=HI) / math.sqrt(d_k)
+    scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh,
+                        preferred_element_type=jnp.float32) / math.sqrt(d_k)
     neg = jnp.float32(-1e30)
     if mask is not None:
         scores = jnp.where(mask[:, None, None, :] > 0, scores, neg)
     if att_mask is not None:
         am = att_mask if att_mask.ndim == 3 else att_mask[None]
         scores = jnp.where(am[:, None, :, :] > 0, scores, neg)
-    att = jax.nn.softmax(scores, axis=-1)
+    att = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bhts,bhsd->bhtd", att, vh)
     out = dense(p["out"], _merge_heads(ctx)) + mem
     if mask is not None:
@@ -222,11 +230,12 @@ def cross_attention(p, x, mem, heads: int, mem_mask=None):
     k, v = jnp.split(kv, 2, axis=-1)
     d_k = q.shape[-1] // heads
     qh, kh, vh = (_split_heads(a, heads) for a in (q, k, v))
-    scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh, precision=HI) / math.sqrt(d_k)
+    scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh,
+                        preferred_element_type=jnp.float32) / math.sqrt(d_k)
     if mem_mask is not None:
         scores = jnp.where(mem_mask[:, None, None, :] > 0, scores,
                            jnp.float32(-1e30))
-    att = jax.nn.softmax(scores, axis=-1)
+    att = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bhts,bhsd->bhtd", att, vh)
     return dense(p["out"], _merge_heads(ctx))
 

@@ -62,9 +62,9 @@ def apply(params, feats, mask: Optional[jnp.ndarray] = None,
     b, t, d_in = feats.shape
     if d_model is None:
         d_model = params["layers"][0]["ffn"]["w1"]["w"].shape[0]
-    x = feats * math.sqrt(d_model)
+    x = feats * jnp.asarray(math.sqrt(d_model), feats.dtype)
     if add_posenc:
-        x = x + sinusoidal_posenc(pos_start, t, d_in)[None]
+        x = x + sinusoidal_posenc(pos_start, t, d_in)[None].astype(x.dtype)
     for i, layer in enumerate(params["layers"]):
         h = sanm_attention(layer["att"], layer_norm(layer["ln1"], x),
                            heads, mask)

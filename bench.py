@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Benchmark: offline (pass-2) Paraformer throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Metric: audio-seconds of 16 kHz speech transcribed per wall-second per chip
+through the flagship pass-2 model (paraformer-large geometry: 50-block
+SAN-M encoder d=512, CIF, 16-block parallel decoder, 8404 vocab) in
+bfloat16, batch of 60 s VAD segments — the dominant compute of the 2pass
+service. Baseline: the ≥50x real-time target per chip (BASELINE.md; the
+reference publishes no numbers, its CPU path decodes batch=1).
+
+Usage: python bench.py [--batch N] [--seconds S] [--iters K] [--fp32]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--seconds", type=float, default=60.0,
+                    help="audio seconds per segment")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asr2pass_tpu.config import paraformer_large
+    from asr2pass_tpu.models import paraformer
+    from asr2pass_tpu.utils import cast_floats
+
+    cfg = paraformer_large()
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+
+    # LFR frames: 60 ms per frame
+    t = int(args.seconds * 1000 / (cfg.frontend.frame_shift_ms
+                                   * cfg.frontend.lfr_n))
+    b = args.batch
+
+    # init params directly on device (avoids shipping ~900 MB over PCIe/
+    # tunnel from host); cast to serving dtype
+    dev_init = jax.jit(lambda k: cast_floats(paraformer.init(k, cfg), dtype))
+    params = dev_init(jax.random.PRNGKey(0))
+    jax.block_until_ready(params["decoder"]["out"]["w"])
+
+    @jax.jit
+    def forward(params, feats, lengths):
+        out = paraformer.apply(params, cfg, feats, lengths)
+        return paraformer.greedy_ids(out)
+
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(
+        rng.standard_normal((b, t, cfg.frontend.lfr_dim)).astype(np.float32),
+        dtype=dtype)
+    lengths = jnp.full((b,), t, jnp.int32)
+
+    # warmup/compile; sync via device->host transfer (block_until_ready can
+    # be a no-op on remote-execution backends)
+    ids, counts = forward(params, feats, lengths)
+    np.asarray(counts)
+
+    start = time.perf_counter()
+    for _ in range(args.iters):
+        ids, counts = forward(params, feats, lengths)
+    np.asarray(counts)  # device executions are ordered; sync the last
+    elapsed = time.perf_counter() - start
+
+    audio_s = b * args.seconds * args.iters
+    value = audio_s / elapsed
+    result = {
+        "metric": "offline_audio_seconds_per_second_per_chip",
+        "value": round(value, 1),
+        "unit": "audio_s/s",
+        "vs_baseline": round(value / 50.0, 2),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
