@@ -33,11 +33,14 @@ def _bucket(n: int) -> int:
 
 class ParaformerOffline:
     def __init__(self, params, cfg: ParaformerConfig, vocab: Vocab,
-                 cmvn=None):
+                 cmvn=None, lm_decoder=None):
         self.params = params
         self.cfg = cfg
         self.vocab = vocab
         self.cmvn = cmvn if cmvn is not None else (None, None)
+        # optional LM beam decoder (BeamSearch/WfstDecoder path,
+        # paraformer.cpp:410-419); greedy otherwise
+        self.lm_decoder = lm_decoder
 
     def _forward(self, feats_batch: np.ndarray, lengths: List[int],
                  hw_emb: Optional[np.ndarray] = None):
@@ -82,9 +85,21 @@ class ParaformerOffline:
             ids, counts = paraformer.greedy_ids(out)
             ids = np.asarray(ids)
             counts = np.asarray(counts)
+            logits_np = None
+            if self.lm_decoder is not None:
+                logits_np = np.asarray(out.logits, np.float32)
             for k, i in enumerate(idxs):
                 n = int(counts[k])
                 tok_ids = [int(x) for x in ids[k, :n]]
+                if self.lm_decoder is not None and n > 0:
+                    rows = logits_np[k, :n]
+                    rows = rows - _logsumexp_rows(rows)
+                    self.lm_decoder.start_utterance()
+                    lm_text = self.lm_decoder.decode(rows,
+                                                     self.vocab.id2token)
+                    if not self.cfg.predictor.use_timestamp:
+                        results[i] = (lm_text, [])
+                        continue
                 if self.cfg.predictor.use_timestamp:
                     char_list = self.vocab.to_char_list(tok_ids)
                     us_alphas = np.asarray(out.us_alphas[k, : lens[k] * 3])
@@ -92,6 +107,8 @@ class ParaformerOffline:
                     _, _, token_ts = ts_mod.timestamp_from_peaks(
                         us_alphas, us_peak, list(char_list))
                     text, merged = ts_mod.post_process(char_list, token_ts)
+                    if self.lm_decoder is not None and n > 0:
+                        text = lm_text  # LM text with CIF timestamps
                     results[i] = (text, merged)
                 else:
                     results[i] = (self.vocab.to_string(tok_ids), [])
@@ -101,3 +118,8 @@ class ParaformerOffline:
                   hw_emb: Optional[np.ndarray] = None
                   ) -> Tuple[str, List[List[float]]]:
         return self.recognize_batch([samples], hw_emb)[0]
+
+
+def _logsumexp_rows(x: np.ndarray) -> np.ndarray:
+    m = x.max(axis=-1, keepdims=True)
+    return m + np.log(np.exp(x - m).sum(axis=-1, keepdims=True))
