@@ -105,9 +105,22 @@ def _hann_sinc_filter(t, cutoff, window_width):
 
 def linear_resample(x: np.ndarray, fs_in: int, fs_out: int,
                     num_zeros: int = 6) -> np.ndarray:
-    """Rational-rate windowed-sinc resampling of a whole utterance."""
+    """Rational-rate windowed-sinc resampling of a whole utterance.
+
+    Uses the native C++ kernel when built (asr2pass_tpu/native); this numpy
+    path is the reference implementation and fallback."""
     if fs_in == fs_out:
         return np.asarray(x, dtype=np.float32)
+    try:
+        from asr2pass_tpu.native import bindings
+
+        if bindings.available():
+            out = bindings.resample(np.asarray(x, np.float32), fs_in, fs_out,
+                                    num_zeros)
+            if out is not None:
+                return out
+    except Exception:
+        pass
     x = np.asarray(x, dtype=np.float64)
     n_in = x.shape[0]
     g = np.gcd(fs_in, fs_out)
