@@ -1,0 +1,65 @@
+"""Tooling tests: WER scorer semantics, quality filters."""
+import numpy as np
+
+from asr2pass_tpu.tools.compute_wer import (
+    WerStats,
+    align,
+    score_pair,
+    tokenize,
+)
+from asr2pass_tpu.tools.quality import (
+    clipping_ratio,
+    estimate_snr,
+    passes_quality,
+)
+
+
+def test_tokenize_mixed():
+    assert tokenize("你好 hello WORLD") == ["你", "好", "hello", "world"]
+    assert tokenize("<noise> 你好") == ["你", "好"]
+    assert tokenize("it's a-b") == ["it's", "a-b"]
+    assert tokenize("你好，世界。") == ["你", "好", "世", "界"]
+
+
+def test_score_pair_counts():
+    stats, line = score_pair("你好世界", "你坏世界了")
+    assert line["sub"] == 1      # 好->坏
+    assert line["ins"] == 1      # 了
+    assert line["del"] == 0
+    assert abs(line["wer"] - 2 / 4) < 1e-9
+
+
+def test_score_accumulates():
+    stats = WerStats()
+    stats, _ = score_pair("你好", "你好", stats)
+    stats, _ = score_pair("天气", "天七", stats)
+    assert stats.sentences == 2
+    assert stats.ref_len == 4
+    assert stats.errors == 1
+    assert abs(stats.wer - 0.25) < 1e-9
+
+
+def test_align_ops():
+    ops, dist = align(["a", "b", "c"], ["a", "c"])
+    assert dist == 1
+    assert ops.count(2) == 1
+
+
+def test_snr_separates_clean_and_noisy():
+    rng = np.random.default_rng(0)
+    t = np.arange(32000) / 16000
+    tone = np.sin(2 * np.pi * 300 * t).astype(np.float32)
+    # speech-like bursts over near-silence
+    clean = tone * (np.repeat(rng.random(20) > 0.5, 1600)).astype(np.float32)
+    clean += rng.standard_normal(32000).astype(np.float32) * 1e-4
+    noisy = clean + rng.standard_normal(32000).astype(np.float32) * 0.5
+    assert estimate_snr(clean) > estimate_snr(noisy)
+    assert estimate_snr(clean) > 30
+
+
+def test_clipping_detector():
+    x = np.zeros(1000, np.float32)
+    assert clipping_ratio(x) == 0.0
+    x[:100] = 1.0
+    assert clipping_ratio(x) == 0.1
+    assert not passes_quality(x)
