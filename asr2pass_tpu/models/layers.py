@@ -197,6 +197,16 @@ def sanm_attention(p, x, heads: int, mask=None, att_mask=None):
     qh = _split_heads(q, heads)
     kh = _split_heads(k, heads)
     vh = _split_heads(v, heads)
+    from asr2pass_tpu.ops.attention import flash_attention, use_flash
+
+    if use_flash(x.shape[1], d_k, att_mask):
+        kv_mask = (mask if mask is not None
+                   else jnp.ones(x.shape[:2], jnp.float32))
+        ctx = flash_attention(qh, kh, vh, kv_mask)
+        out = dense(p["out"], _merge_heads(ctx)) + mem
+        if mask is not None:
+            out = out * mask[..., None]
+        return out
     scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh,
                         preferred_element_type=jnp.float32) / math.sqrt(d_k)
     neg = jnp.float32(-1e30)

@@ -36,7 +36,7 @@ class OnlineState(NamedTuple):
     pos: jnp.ndarray           # [B] absolute LFR frame index consumed
     cif_integrate: jnp.ndarray  # [B]
     cif_frame: jnp.ndarray      # [B, D]
-    dec_caches: Tuple[jnp.ndarray, ...]  # per decoder layer [B, lorder, D]
+    dec_caches: jnp.ndarray     # [L, B, lorder, D] stacked FSMN caches
 
 
 def init_state(params, cfg: ParaformerConfig, batch: int) -> OnlineState:
@@ -48,7 +48,7 @@ def init_state(params, cfg: ParaformerConfig, batch: int) -> OnlineState:
         pos=jnp.zeros((batch,), jnp.int32),
         cif_integrate=jnp.zeros((batch,), jnp.float32),
         cif_frame=jnp.zeros((batch, d), jnp.float32),
-        dec_caches=tuple(sanm_decoder.init_caches(params["decoder"], batch)),
+        dec_caches=sanm_decoder.init_caches(params["decoder"], batch),
     )
 
 
@@ -112,7 +112,7 @@ def step(params, cfg: ParaformerConfig, state: OnlineState,
 
     tok_mask = length_mask(counts, frames.shape[1])
     logits, new_caches = sanm_decoder.apply_streaming(
-        params["decoder"], frames, enc, list(state.dec_caches),
+        params["decoder"], frames, enc, state.dec_caches,
         enc_mask=wmask, mask=tok_mask, valid_len=counts,
         heads=cfg.decoder.attention_heads,
     )
@@ -131,10 +131,8 @@ def step(params, cfg: ParaformerConfig, state: OnlineState,
         pos=jnp.where(fin, zero.pos, state.pos + new_count),
         cif_integrate=jnp.where(fin, zero.cif_integrate, cif_state.integrate),
         cif_frame=jnp.where(fin[:, None], zero.cif_frame, cif_state.frame),
-        dec_caches=tuple(
-            jnp.where(fin[:, None, None], z, nc)
-            for z, nc in zip(zero.dec_caches, new_caches)
-        ),
+        dec_caches=jnp.where(fin[None, :, None, None],
+                             zero.dec_caches, new_caches),
     )
     return new_state, ids, counts
 

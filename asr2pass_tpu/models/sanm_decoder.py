@@ -6,9 +6,12 @@ projected to vocab logits — all U positions decoded in one parallel pass
 (this is what makes Paraformer fast on the MXU: one big batched matmul chain
 instead of a token-by-token loop).
 
-Streaming: each FSMN block carries a [B, lorder, D] cache so chunk-by-chunk
-decoding matches the full-sequence pass — the TPU-native equivalent of the
-per-layer ONNX cache tensors (paraformer-online.cpp:347-384,500-511).
+TPU-native layout: the N uniform blocks are one stacked pytree driven by
+``lax.scan`` (flat compile time in depth; explicit leading layer axis for
+sharding). Streaming FSMN caches are one [L, B, lorder, D] array scanned
+alongside the params — the TPU-native equivalent of the per-layer ONNX
+cache tensors (paraformer-online.cpp:347-384,500-511) with the batch on
+axis 1.
 
 An optional hotword-bias block (cross-attention over compiled hotword
 embeddings) sits before the output head — role of the contextual/hotword
@@ -16,7 +19,7 @@ variant the reference feeds `hw_emb` to (paraformer.cpp:515-532).
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,7 +56,7 @@ def init(key, cfg: DecoderConfig, d_model: int, vocab_size: int,
             "ffn": ffn_init(k3, d_model, cfg.linear_units),
         })
     params = {
-        "layers": layers,
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
         "after_norm": layer_norm_init(d_model),
         "out": dense_init(keys[-1], d_model, vocab_size),
     }
@@ -66,12 +69,16 @@ def init(key, cfg: DecoderConfig, d_model: int, vocab_size: int,
     return params
 
 
-def _block(layer, x, enc, enc_mask, mask, heads=4, cache=None,
+def _kernel_size(params) -> int:
+    return params["blocks"]["fsmn"]["taps"].shape[1]
+
+
+def _block(layer, x, enc, enc_mask, mask, heads, cache=None,
            causal_left=None, valid_len=None):
     h = layer_norm(layer["ln1"], x)
     if cache is not None:
         if mask is not None:
-            h = h * mask[..., None]
+            h = h * mask[..., None].astype(h.dtype)
         h, new_cache = fsmn_apply_cached(layer["fsmn"], h, cache, valid_len)
     else:
         new_cache = None
@@ -81,8 +88,17 @@ def _block(layer, x, enc, enc_mask, mask, heads=4, cache=None,
                             enc, heads, enc_mask)
     x = x + ffn(layer["ffn"], layer_norm(layer["ln3"], x))
     if mask is not None:
-        x = x * mask[..., None]
+        x = x * mask[..., None].astype(x.dtype)
     return x, new_cache
+
+
+def _head(params, x, hw_emb, hw_mask, heads):
+    if hw_emb is not None and "hotword" in params:
+        x = x + cross_attention(params["hotword"]["cross"],
+                                layer_norm(params["hotword"]["ln"], x),
+                                hw_emb, heads, hw_mask)
+    x = layer_norm(params["after_norm"], x)
+    return dense(params["out"], x)
 
 
 def apply(params, ac_embeds, enc, enc_mask=None, mask=None,
@@ -95,44 +111,37 @@ def apply(params, ac_embeds, enc, enc_mask=None, mask=None,
     """
     if cfg is not None:
         heads = cfg.attention_heads
-    kernel = params["layers"][0]["fsmn"]["taps"].shape[0]
-    x = ac_embeds
-    for layer in params["layers"]:
-        x, _ = _block(layer, x, enc, enc_mask, mask, heads=heads,
+    kernel = _kernel_size(params)
+
+    def body(x, layer):
+        x, _ = _block(layer, x, enc, enc_mask, mask, heads,
                       causal_left=kernel - 1)
-    if hw_emb is not None and "hotword" in params:
-        x = x + cross_attention(params["hotword"]["cross"],
-                                layer_norm(params["hotword"]["ln"], x),
-                                hw_emb, heads, hw_mask)
-    x = layer_norm(params["after_norm"], x)
-    return dense(params["out"], x)
+        return x, None
+
+    x, _ = jax.lax.scan(body, ac_embeds, params["blocks"])
+    return _head(params, x, hw_emb, hw_mask, heads)
 
 
-def init_caches(params, batch: int) -> List[jnp.ndarray]:
-    """Zero FSMN caches, one [B, lorder, D] per block (InitCache role)."""
-    caches = []
-    for layer in params["layers"]:
-        kernel, d = layer["fsmn"]["taps"].shape
-        caches.append(jnp.zeros((batch, kernel - 1, d), jnp.float32))
-    return caches
+def init_caches(params, batch: int) -> jnp.ndarray:
+    """Zero FSMN caches [L, B, lorder, D] (InitCache role)."""
+    l, kernel, d = params["blocks"]["fsmn"]["taps"].shape
+    return jnp.zeros((l, batch, kernel - 1, d), jnp.float32)
 
 
 def apply_streaming(params, ac_embeds, enc, caches,
                     enc_mask=None, mask=None, valid_len=None,
                     hw_emb=None, hw_mask=None, heads: int = 4
-                    ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
-    """Chunk pass with FSMN cache carry. Same math as `apply` when the
-    chunks are concatenated (tested in tests/test_models.py). valid_len [B]
-    gives the true token count per stream for padded chunks."""
-    x = ac_embeds
-    new_caches = []
-    for layer, cache in zip(params["layers"], caches):
-        x, nc = _block(layer, x, enc, enc_mask, mask, heads=heads,
-                       cache=cache, valid_len=valid_len)
-        new_caches.append(nc)
-    if hw_emb is not None and "hotword" in params:
-        x = x + cross_attention(params["hotword"]["cross"],
-                                layer_norm(params["hotword"]["ln"], x),
-                                hw_emb, heads, hw_mask)
-    x = layer_norm(params["after_norm"], x)
-    return dense(params["out"], x), new_caches
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Chunk pass with FSMN cache carry [L, B, lorder, D]. Same math as
+    `apply` when the chunks are concatenated (tested). valid_len [B] gives
+    the true token count per stream for padded chunks."""
+
+    def body(x, layer_and_cache):
+        layer, cache = layer_and_cache
+        x, nc = _block(layer, x, enc, enc_mask, mask, heads, cache=cache,
+                       valid_len=valid_len)
+        return x, nc
+
+    x, new_caches = jax.lax.scan(body, ac_embeds,
+                                 (params["blocks"], caches))
+    return _head(params, x, hw_emb, hw_mask, heads), new_caches

@@ -6,6 +6,12 @@ summed with the 1-based sinusoidal position encoding (paraformer-online.cpp
 :240-268 formula), then N SAN-M blocks (self-attention + FSMN memory branch
 + FFN, pre-norm residuals) and a final LayerNorm.
 
+TPU-native layout: layer 0 (input-dim projection) is separate; layers 1..N
+are a SINGLE stacked pytree iterated with ``lax.scan``. One trace of the
+block serves all layers — XLA (and especially Pallas: one Mosaic kernel
+compile instead of one per layer) compile time stays flat in depth, and the
+layer axis is an explicit leading dim for sharding.
+
 Streaming needs no separate weights: the reference's streaming encoder runs
 full attention over a [lookback, center, lookahead] overlap-chunk window
 (AddOverlapChunk, paraformer-online.cpp:397-413); we do the same by calling
@@ -22,8 +28,6 @@ import jax.numpy as jnp
 
 from asr2pass_tpu.config import EncoderConfig
 from asr2pass_tpu.models.layers import (
-    dense,
-    dense_init,
     ffn,
     ffn_init,
     layer_norm,
@@ -35,20 +39,36 @@ from asr2pass_tpu.models.layers import (
 )
 
 
+def _layer_init(key, d_in: int, cfg: EncoderConfig):
+    k1, k2 = jax.random.split(key)
+    return {
+        "ln1": layer_norm_init(d_in),
+        "att": sanm_attention_init(k1, d_in, cfg.output_size,
+                                   cfg.attention_heads, cfg.kernel_size),
+        "ln2": layer_norm_init(cfg.output_size),
+        "ffn": ffn_init(k2, cfg.output_size, cfg.linear_units),
+    }
+
+
 def init(key, cfg: EncoderConfig):
     keys = jax.random.split(key, cfg.num_blocks + 1)
-    layers = []
-    for i in range(cfg.num_blocks):
-        d_in = cfg.input_size if i == 0 else cfg.output_size
-        k1, k2 = jax.random.split(keys[i])
-        layers.append({
-            "ln1": layer_norm_init(d_in),
-            "att": sanm_attention_init(k1, d_in, cfg.output_size,
-                                       cfg.attention_heads, cfg.kernel_size),
-            "ln2": layer_norm_init(cfg.output_size),
-            "ffn": ffn_init(k2, cfg.output_size, cfg.linear_units),
-        })
-    return {"layers": layers, "after_norm": layer_norm_init(cfg.output_size)}
+    first = _layer_init(keys[0], cfg.input_size, cfg)
+    rest = [_layer_init(keys[i], cfg.output_size, cfg)
+            for i in range(1, cfg.num_blocks)]
+    stacked = (jax.tree.map(lambda *xs: jnp.stack(xs), *rest)
+               if rest else None)
+    return {"first": first, "rest": stacked,
+            "after_norm": layer_norm_init(cfg.output_size)}
+
+
+def _block(layer, x, mask, heads, residual: bool):
+    h = sanm_attention(layer["att"], layer_norm(layer["ln1"], x),
+                       heads, mask)
+    x = x + h if residual else h
+    x = x + ffn(layer["ffn"], layer_norm(layer["ln2"], x))
+    if mask is not None:
+        x = x * mask[..., None].astype(x.dtype)
+    return x
 
 
 def apply(params, feats, mask: Optional[jnp.ndarray] = None,
@@ -61,17 +81,17 @@ def apply(params, feats, mask: Optional[jnp.ndarray] = None,
     """
     b, t, d_in = feats.shape
     if d_model is None:
-        d_model = params["layers"][0]["ffn"]["w1"]["w"].shape[0]
+        d_model = params["after_norm"]["g"].shape[0]
     x = feats * jnp.asarray(math.sqrt(d_model), feats.dtype)
     if add_posenc:
         x = x + sinusoidal_posenc(pos_start, t, d_in)[None].astype(x.dtype)
-    for i, layer in enumerate(params["layers"]):
-        h = sanm_attention(layer["att"], layer_norm(layer["ln1"], x),
-                           heads, mask)
-        x = h if i == 0 and d_in != h.shape[-1] else x + h
-        x = x + ffn(layer["ffn"], layer_norm(layer["ln2"], x))
-        if mask is not None:
-            x = x * mask[..., None]
+    x = _block(params["first"], x, mask, heads,
+               residual=(d_in == d_model))
+    if params["rest"] is not None:
+        def body(x, layer):
+            return _block(layer, x, mask, heads, residual=True), None
+
+        x, _ = jax.lax.scan(body, x, params["rest"])
     return layer_norm(params["after_norm"], x)
 
 

@@ -43,7 +43,14 @@ _ROW = ("att/out/w", "cross/out/w", "w2/w", "affine/w", "wh/w")
 
 
 def _spec_for(path: str, ndim: int) -> P:
-    """Sharding rule by parameter path."""
+    """Sharding rule by parameter path. Stacked layer pytrees
+    (.../rest/... or .../blocks/...) carry a leading layer axis: the rule
+    applies to the trailing dims and the layer axis stays unsharded."""
+    stacked = "/rest/" in path or "/blocks/" in path
+    if stacked and ndim >= 1:
+        inner = _spec_for(path.replace("/rest/", "/L/")
+                          .replace("/blocks/", "/L/"), ndim - 1)
+        return P(*((None,) + tuple(inner)))
     if ndim < 2:
         # biases of column-parallel layers follow their output shard
         if path.endswith(("qkv/b", "kv/b", "q/b", "w1/b", "proj/b", "wx/b")):

@@ -115,8 +115,7 @@ class StreamEngine:
             pos=s.pos.at[sid].set(0),
             cif_integrate=s.cif_integrate.at[sid].set(0.0),
             cif_frame=s.cif_frame.at[sid].set(z1.cif_frame[0]),
-            dec_caches=tuple(c.at[sid].set(zc[0]) for c, zc in
-                             zip(s.dec_caches, z1.dec_caches)),
+            dec_caches=s.dec_caches.at[:, sid].set(z1.dec_caches[:, 0]),
         )
         self.vad_caches = [c.at[sid].set(0.0) for c in self.vad_caches]
 

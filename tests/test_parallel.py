@@ -47,14 +47,16 @@ def test_param_sharding_rules():
     params = paraformer.init(jax.random.PRNGKey(0), cfg)
     mesh = make_mesh(8, tp=2)
     sh = param_shardings(params, mesh)
-    # column-parallel qkv, row-parallel attention out
-    assert sh["encoder"]["layers"][0]["att"]["qkv"]["w"].spec == P(None, "tp")
-    assert sh["encoder"]["layers"][0]["att"]["out"]["w"].spec == P("tp", None)
-    assert sh["encoder"]["layers"][0]["ffn"]["w1"]["w"].spec == P(None, "tp")
-    assert sh["encoder"]["layers"][0]["ffn"]["w2"]["w"].spec == P("tp", None)
+    # column-parallel qkv, row-parallel attention out (first layer 2-D)
+    assert sh["encoder"]["first"]["att"]["qkv"]["w"].spec == P(None, "tp")
+    assert sh["encoder"]["first"]["att"]["out"]["w"].spec == P("tp", None)
+    # stacked layers carry an unsharded leading layer axis
+    assert sh["encoder"]["rest"]["att"]["qkv"]["w"].spec == P(None, None, "tp")
+    assert sh["encoder"]["rest"]["ffn"]["w2"]["w"].spec == P(None, "tp", None)
+    assert sh["decoder"]["blocks"]["ffn"]["w1"]["w"].spec == P(None, None, "tp")
     # vocab head sharded over tp; layernorm replicated
     assert sh["decoder"]["out"]["w"].spec == P(None, "tp")
-    assert sh["encoder"]["layers"][0]["ln1"]["g"].spec == P()
+    assert sh["encoder"]["first"]["ln1"]["g"].spec == P()
 
 
 def test_sharded_forward_matches_single_device():
