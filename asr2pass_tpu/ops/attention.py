@@ -104,8 +104,20 @@ def flash_attention(q, k, v, mask, interpret: bool = False):
     return out
 
 
+import os
+
+# Opt-in: at the pass-2 shapes (T<=1024, d_head 128) XLA's fused batched
+# GEMM attention outperforms this kernel on v5e (measured: 6.5k vs 3.5k
+# audio-s/s/chip) — the score matrix traffic is not the bottleneck there.
+# The kernel pays off for much longer sequences (sequence-parallel offline
+# segments); enable with ASR2PASS_FLASH_ATTENTION=1.
+_FLASH_ENV = "ASR2PASS_FLASH_ATTENTION"
+
+
 def use_flash(t: int, d_head: int, att_mask) -> bool:
-    """Heuristic: long sequences, TPU backend, no custom attention mask."""
+    """Opt-in via env; long sequences, TPU backend, no custom mask."""
+    if os.environ.get(_FLASH_ENV, "0") != "1":
+        return False
     if att_mask is not None:
         return False
     if t < 256 or d_head > 256:

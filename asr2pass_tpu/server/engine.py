@@ -46,6 +46,15 @@ class ServerModels:
     itn: Any = None
     hotword_params: Any = None
     hotword_cfg: Any = None
+    # SenseVoice (svs) pass-2 alternative (MODEL_SVS role)
+    svs_params: Any = None
+    svs_cfg: Any = None
+    svs_vocab: Any = None
+    svs_cmvn: Any = None
+    # optional n-gram LM rescoring (TLG role)
+    lm: Any = None
+    lexicon: Any = None
+    lm_weight: float = 0.5
 
     def _punctuator(self) -> Optional[Punctuator]:
         if self.punc_params is None:
@@ -65,11 +74,26 @@ class ServerModels:
             self.vocab,
         )
 
+    def _make_lm_decoder(self, hotwords: Optional[dict] = None):
+        if self.lm is None or self.lexicon is None:
+            return None
+        from asr2pass_tpu.decode.context_graph import ContextGraph
+        from asr2pass_tpu.decode.lm_decoder import LmDecoder
+
+        bias = None
+        if hotwords:
+            bias = ContextGraph().build(
+                {w: float(s) for w, s in hotwords.items()})
+        return LmDecoder(self.lm, self.lexicon, lm_weight=self.lm_weight,
+                         bias=bias)
+
     def create_session(self, mode: str = "2pass",
                        vad_tail_sil: Optional[int] = None,
                        vad_max_len: Optional[int] = None,
                        hw_emb: Optional[np.ndarray] = None,
-                       use_itn: bool = True) -> TwoPassSession:
+                       use_itn: bool = True, svs_lang: str = "auto",
+                       svs_itn: bool = True, use_svs: bool = False,
+                       hotwords: Optional[dict] = None) -> TwoPassSession:
         assert self.vad_params is not None, "2pass/online needs a VAD model"
         vad = FsmnVadStream(
             self.vad_params, self.vad_cfg, cmvn=self.vad_cmvn, online=True,
@@ -86,8 +110,22 @@ class ServerModels:
             )
         offline = None
         if mode != "online":
-            offline = ParaformerOffline(self.asr_params, self.asr_cfg,
-                                        self.vocab, cmvn=self.asr_cmvn)
+            if use_svs and self.svs_params is not None:
+                from asr2pass_tpu.runtime.sensevoice_asr import (
+                    SenseVoiceOffline,
+                )
+
+                offline = SenseVoiceOffline(
+                    self.svs_params, self.svs_cfg,
+                    self.svs_vocab or self.vocab, cmvn=self.svs_cmvn,
+                    lang=svs_lang, use_itn_token=svs_itn,
+                )
+            else:
+                offline = ParaformerOffline(
+                    self.asr_params, self.asr_cfg, self.vocab,
+                    cmvn=self.asr_cmvn,
+                    lm_decoder=self._make_lm_decoder(hotwords),
+                )
         return TwoPassSession(
             vad, online, offline, punc=self._punctuator(), itn=self.itn,
             mode=mode, hw_emb=hw_emb, use_itn=use_itn,

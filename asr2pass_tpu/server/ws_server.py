@@ -57,6 +57,8 @@ class ConnectionState:
         self.wav_format = "pcm"
         self.audio_fs = 16000
         self.itn = True
+        self.svs_lang = "auto"
+        self.svs_itn = True
         self.session = None
         self.offline_buf = bytearray()
         self.hw_emb = None
@@ -113,16 +115,22 @@ class AsrWsServer:
             st.wav_format = obj.get("wav_format", st.wav_format)
             st.audio_fs = int(obj.get("audio_fs", st.audio_fs))
             st.itn = bool(obj.get("itn", st.itn))
+            st.svs_lang = obj.get("svs_lang", st.svs_lang)
+            st.svs_itn = bool(obj.get("svs_itn", st.svs_itn))
             st.vad_tail_sil = obj.get("vad_tail_sil")
             st.vad_max_len = obj.get("vad_max_len")
             hotwords = _parse_hotwords(obj.get("hotwords"))
             if hotwords:
                 st.hw_emb = self.models.compile_hotwords(hotwords)
+            st.hotwords = hotwords
             if st.mode in ("2pass", "online"):
                 st.session = self.models.create_session(
                     mode=st.mode, vad_tail_sil=st.vad_tail_sil,
                     vad_max_len=st.vad_max_len, hw_emb=st.hw_emb,
-                    use_itn=st.itn,
+                    use_itn=st.itn, svs_lang=st.svs_lang,
+                    svs_itn=st.svs_itn,
+                    use_svs=self.models.svs_params is not None,
+                    hotwords=hotwords,
                 )
             st.started = True
         if obj.get("is_speaking") is False:

@@ -36,6 +36,18 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     import jax
+
+    # persistent compilation cache: repeat runs (and the driver's bench
+    # invocation) skip the multi-minute XLA compile
+    import os
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
 
