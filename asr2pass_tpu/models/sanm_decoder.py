@@ -19,10 +19,13 @@ variant the reference feeds `hw_emb` to (paraformer.cpp:515-532).
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+_SCAN = os.environ.get("ASR2PASS_SCAN_LAYERS", "0") == "1"
 
 from asr2pass_tpu.config import DecoderConfig
 from asr2pass_tpu.models.layers import (
@@ -113,12 +116,20 @@ def apply(params, ac_embeds, enc, enc_mask=None, mask=None,
         heads = cfg.attention_heads
     kernel = _kernel_size(params)
 
-    def body(x, layer):
-        x, _ = _block(layer, x, enc, enc_mask, mask, heads,
-                      causal_left=kernel - 1)
-        return x, None
+    if _SCAN:
+        def body(x, layer):
+            x, _ = _block(layer, x, enc, enc_mask, mask, heads,
+                          causal_left=kernel - 1)
+            return x, None
 
-    x, _ = jax.lax.scan(body, ac_embeds, params["blocks"])
+        x, _ = jax.lax.scan(body, ac_embeds, params["blocks"])
+    else:
+        x = ac_embeds
+        n = params["blocks"]["fsmn"]["taps"].shape[0]
+        for i in range(n):
+            layer = jax.tree.map(lambda a: a[i], params["blocks"])
+            x, _ = _block(layer, x, enc, enc_mask, mask, heads,
+                          causal_left=kernel - 1)
     return _head(params, x, hw_emb, hw_mask, heads)
 
 
@@ -136,12 +147,23 @@ def apply_streaming(params, ac_embeds, enc, caches,
     `apply` when the chunks are concatenated (tested). valid_len [B] gives
     the true token count per stream for padded chunks."""
 
-    def body(x, layer_and_cache):
-        layer, cache = layer_and_cache
-        x, nc = _block(layer, x, enc, enc_mask, mask, heads, cache=cache,
-                       valid_len=valid_len)
-        return x, nc
+    if _SCAN:
+        def body(x, layer_and_cache):
+            layer, cache = layer_and_cache
+            x, nc = _block(layer, x, enc, enc_mask, mask, heads,
+                           cache=cache, valid_len=valid_len)
+            return x, nc
 
-    x, new_caches = jax.lax.scan(body, ac_embeds,
-                                 (params["blocks"], caches))
+        x, new_caches = jax.lax.scan(body, ac_embeds,
+                                     (params["blocks"], caches))
+    else:
+        x = ac_embeds
+        n = params["blocks"]["fsmn"]["taps"].shape[0]
+        ncs = []
+        for i in range(n):
+            layer = jax.tree.map(lambda a: a[i], params["blocks"])
+            x, nc = _block(layer, x, enc, enc_mask, mask, heads,
+                           cache=caches[i], valid_len=valid_len)
+            ncs.append(nc)
+        new_caches = jnp.stack(ncs)
     return _head(params, x, hw_emb, hw_mask, heads), new_caches

@@ -21,10 +21,16 @@ paths.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# scan-over-layers halves HLO size but compiles ~3x slower through this
+# image's remote-compile toolchain; default is an unrolled loop over the
+# stacked params (same math, same sharding layout)
+_SCAN = os.environ.get("ASR2PASS_SCAN_LAYERS", "0") == "1"
 
 from asr2pass_tpu.config import EncoderConfig
 from asr2pass_tpu.models.layers import (
@@ -88,10 +94,16 @@ def apply(params, feats, mask: Optional[jnp.ndarray] = None,
     x = _block(params["first"], x, mask, heads,
                residual=(d_in == d_model))
     if params["rest"] is not None:
-        def body(x, layer):
-            return _block(layer, x, mask, heads, residual=True), None
+        if _SCAN:
+            def body(x, layer):
+                return _block(layer, x, mask, heads, residual=True), None
 
-        x, _ = jax.lax.scan(body, x, params["rest"])
+            x, _ = jax.lax.scan(body, x, params["rest"])
+        else:
+            n = jax.tree.leaves(params["rest"])[0].shape[0]
+            for i in range(n):
+                layer = jax.tree.map(lambda a: a[i], params["rest"])
+                x = _block(layer, x, mask, heads, residual=True)
     return layer_norm(params["after_norm"], x)
 
 

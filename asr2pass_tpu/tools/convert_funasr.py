@@ -1,0 +1,188 @@
+#!/usr/bin/env python3
+"""Convert FunASR PyTorch checkpoints -> asr2pass_tpu npz model dirs.
+
+This is the migration path for users of the reference service: take the
+same ModelScope model directory the reference auto-downloads
+(funasr-wss-server-2pass.cpp:195-502) — its `model.pt` torch state dict +
+config.yaml/am.mvn/tokens.json — and emit our directory layout
+(runtime/model_zoo.py).
+
+Mapping notes (torch Linear stores [out,in]; ours is [in,out], so weights
+transpose; Conv1d depthwise [d,1,k] -> fsmn taps [k,d]):
+
+  encoder.encoders0.0 / encoder.encoders.N:
+    self_attn.linear_q_k_v -> encoder.{first|rest}.att.qkv
+    self_attn.fsmn_block   -> ...att.fsmn.taps
+    self_attn.linear_out   -> ...att.out
+    feed_forward.w_1/w_2   -> ...ffn.w1/w2 ; norm1/norm2 -> ln1/ln2
+  encoder.after_norm       -> encoder.after_norm
+  predictor.cif_conv1d     -> predictor.conv ([out,in,k] -> [k,in,out])
+  predictor.cif_output     -> predictor.out
+  decoder.decoders.N:
+    self_attn.fsmn_block   -> decoder.blocks.fsmn.taps
+    src_attn.linear_q      -> decoder.blocks.cross.q
+    src_attn.linear_k_v    -> decoder.blocks.cross.kv
+    src_attn.linear_out    -> decoder.blocks.cross.out
+    feed_forward.w_1/w_2   -> decoder.blocks.ffn.w1/w2
+    norm1/2/3              -> ln1/ln2/ln3
+  decoder.after_norm / decoder.output_layer -> after_norm / out
+
+Architectural deltas vs FunASR (block-internal op order, decoders3 tail
+layers) mean converted models should be validated with
+clients/asr_client_api.check_transcripts against reference outputs before
+production use; the converter reports unmapped tensors loudly.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+from typing import Dict, List
+
+import numpy as np
+
+
+def _t(w):  # torch Linear -> ours
+    return np.asarray(w).T
+
+
+def _conv_taps(w):  # depthwise Conv1d [d,1,k] -> [k,d]
+    w = np.asarray(w)
+    return w[:, 0, :].T
+
+
+def _full_conv(w):  # Conv1d [out,in,k] -> [k,in,out]
+    w = np.asarray(w)
+    return np.transpose(w, (2, 1, 0))
+
+
+def _att_layer(sd: Dict[str, np.ndarray], pfx: str) -> dict:
+    return {
+        "ln1": {"g": np.asarray(sd[f"{pfx}.norm1.weight"]),
+                "b": np.asarray(sd[f"{pfx}.norm1.bias"])},
+        "att": {
+            "qkv": {"w": _t(sd[f"{pfx}.self_attn.linear_q_k_v.weight"]),
+                    "b": np.asarray(sd[f"{pfx}.self_attn.linear_q_k_v.bias"])},
+            "out": {"w": _t(sd[f"{pfx}.self_attn.linear_out.weight"]),
+                    "b": np.asarray(sd[f"{pfx}.self_attn.linear_out.bias"])},
+            "fsmn": {"taps": _conv_taps(
+                sd[f"{pfx}.self_attn.fsmn_block.weight"])},
+        },
+        "ln2": {"g": np.asarray(sd[f"{pfx}.norm2.weight"]),
+                "b": np.asarray(sd[f"{pfx}.norm2.bias"])},
+        "ffn": {
+            "w1": {"w": _t(sd[f"{pfx}.feed_forward.w_1.weight"]),
+                   "b": np.asarray(sd[f"{pfx}.feed_forward.w_1.bias"])},
+            "w2": {"w": _t(sd[f"{pfx}.feed_forward.w_2.weight"]),
+                   "b": np.asarray(sd[f"{pfx}.feed_forward.w_2.bias"])},
+        },
+    }
+
+
+def _dec_layer(sd: Dict[str, np.ndarray], pfx: str) -> dict:
+    return {
+        "ln1": {"g": np.asarray(sd[f"{pfx}.norm1.weight"]),
+                "b": np.asarray(sd[f"{pfx}.norm1.bias"])},
+        "fsmn": {"taps": _conv_taps(sd[f"{pfx}.self_attn.fsmn_block.weight"])},
+        "ln2": {"g": np.asarray(sd[f"{pfx}.norm2.weight"]),
+                "b": np.asarray(sd[f"{pfx}.norm2.bias"])},
+        "cross": {
+            "q": {"w": _t(sd[f"{pfx}.src_attn.linear_q.weight"]),
+                  "b": np.asarray(sd[f"{pfx}.src_attn.linear_q.bias"])},
+            "kv": {"w": _t(sd[f"{pfx}.src_attn.linear_k_v.weight"]),
+                   "b": np.asarray(sd[f"{pfx}.src_attn.linear_k_v.bias"])},
+            "out": {"w": _t(sd[f"{pfx}.src_attn.linear_out.weight"]),
+                    "b": np.asarray(sd[f"{pfx}.src_attn.linear_out.bias"])},
+        },
+        "ln3": {"g": np.asarray(sd[f"{pfx}.norm3.weight"]),
+                "b": np.asarray(sd[f"{pfx}.norm3.bias"])},
+        "ffn": {
+            "w1": {"w": _t(sd[f"{pfx}.feed_forward.w_1.weight"]),
+                   "b": np.asarray(sd[f"{pfx}.feed_forward.w_1.bias"])},
+            "w2": {"w": _t(sd[f"{pfx}.feed_forward.w_2.weight"]),
+                   "b": np.asarray(sd[f"{pfx}.feed_forward.w_2.bias"])},
+        },
+    }
+
+
+def convert_state_dict(sd: Dict[str, np.ndarray]) -> dict:
+    """FunASR Paraformer state dict -> our param pytree. Raises KeyError
+    with the missing tensor name on layout mismatch."""
+    import jax.numpy as jnp
+    import jax
+
+    def stack(layers: List[dict]):
+        return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x)
+                                                   for x in xs]), *layers)
+
+    n_enc = 1 + len({m.group(1) for k in sd
+                     if (m := re.match(r"encoder\.encoders\.(\d+)\.", k))})
+    n_dec = len({m.group(1) for k in sd
+                 if (m := re.match(r"decoder\.decoders\.(\d+)\.", k))})
+    first = _att_layer(sd, "encoder.encoders0.0")
+    rest = [_att_layer(sd, f"encoder.encoders.{i}")
+            for i in range(n_enc - 1)]
+    params = {
+        "encoder": {
+            "first": jax.tree.map(jnp.asarray, first),
+            "rest": stack(rest) if rest else None,
+            "after_norm": {"g": jnp.asarray(sd["encoder.after_norm.weight"]),
+                           "b": jnp.asarray(sd["encoder.after_norm.bias"])},
+        },
+        "predictor": {
+            "conv": {"w": jnp.asarray(_full_conv(
+                         sd["predictor.cif_conv1d.weight"])),
+                     "b": jnp.asarray(sd["predictor.cif_conv1d.bias"])},
+            "out": {"w": _t(sd["predictor.cif_output.weight"]),
+                    "b": jnp.asarray(sd["predictor.cif_output.bias"])},
+        },
+        "decoder": {
+            "blocks": stack([_dec_layer(sd, f"decoder.decoders.{i}")
+                             for i in range(n_dec)]),
+            "after_norm": {"g": jnp.asarray(sd["decoder.after_norm.weight"]),
+                           "b": jnp.asarray(sd["decoder.after_norm.bias"])},
+            "out": {"w": _t(sd["decoder.output_layer.weight"]),
+                    "b": jnp.asarray(sd["decoder.output_layer.bias"])},
+        },
+    }
+    mapped_prefixes = ("encoder.", "decoder.decoders", "decoder.after_norm",
+                      "decoder.output_layer", "predictor.cif_")
+    unmapped = [k for k in sd if not k.startswith(mapped_prefixes)]
+    if unmapped:
+        print(f"WARNING: {len(unmapped)} unmapped tensors, e.g. "
+              f"{unmapped[:5]}", file=sys.stderr)
+    return params
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("src", help="FunASR model dir (model.pt, config.yaml, "
+                               "am.mvn, tokens.json)")
+    p.add_argument("dst", help="output model dir")
+    args = p.parse_args(argv)
+
+    import torch
+
+    sd = torch.load(os.path.join(args.src, "model.pt"),
+                    map_location="cpu", weights_only=True)
+    sd = {k: v.numpy() for k, v in sd.items()}
+    params = convert_state_dict(sd)
+
+    import shutil
+
+    from asr2pass_tpu.runtime.model_zoo import save_params
+
+    os.makedirs(args.dst, exist_ok=True)
+    save_params(os.path.join(args.dst, "weights.npz"), params)
+    for f in ("config.yaml", "am.mvn", "tokens.json", "seg_dict"):
+        src = os.path.join(args.src, f)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(args.dst, f))
+    print(f"converted -> {args.dst}; validate with "
+          f"clients/asr_client_api.check_transcripts before production")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
