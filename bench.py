@@ -21,9 +21,59 @@ import sys
 import time
 
 
+def bench_online(args):
+    """Streaming pass-1: concurrent streams sustainable per chip.
+
+    One batched online step advances `--streams` streams by one 600 ms
+    chunk (BASELINE config 4: 64 concurrent streams/chip)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asr2pass_tpu.config import paraformer_large_online
+    from asr2pass_tpu.models import paraformer, paraformer_online
+    from asr2pass_tpu.utils import cast_floats
+
+    cfg = paraformer_large_online()
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    s = args.streams
+    dev_init = jax.jit(lambda k: cast_floats(paraformer.init(k, cfg), dtype))
+    params = dev_init(jax.random.PRNGKey(0))
+    state = paraformer_online.init_state(params, cfg, s)
+    rng = np.random.default_rng(0)
+    center = cfg.chunk_size[1]
+    feats = jnp.asarray(rng.standard_normal(
+        (s, center, cfg.frontend.lfr_dim)).astype(np.float32), dtype=dtype)
+    counts = jnp.full((s,), center, jnp.int32)
+    fin = jnp.zeros((s,), bool)
+    state, ids, n = paraformer_online.step_jit(params, cfg, state, feats,
+                                               counts, fin)
+    np.asarray(n)
+    start = time.perf_counter()
+    for _ in range(args.iters):
+        state, ids, n = paraformer_online.step_jit(params, cfg, state,
+                                                   feats, counts, fin)
+    np.asarray(n)
+    elapsed = time.perf_counter() - start
+    step_s = elapsed / args.iters
+    chunk_s = center * 0.06  # 600 ms of audio per chunk
+    # streams sustainable at real time = streams * chunk_time / step_time
+    sustainable = s * chunk_s / step_s
+    print(json.dumps({
+        "metric": "realtime_streams_per_chip_pass1",
+        "value": round(sustainable, 0),
+        "unit": "streams",
+        "vs_baseline": round(sustainable / 64.0, 2),
+    }))
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["offline", "online"],
+                    default="offline")
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--streams", type=int, default=64)
     ap.add_argument("--seconds", type=float, default=60.0,
                     help="audio seconds per segment")
     ap.add_argument("--iters", type=int, default=8)
@@ -48,6 +98,9 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    if args.mode == "online":
+        return bench_online(args)
     import jax.numpy as jnp
     import numpy as np
 

@@ -1,0 +1,124 @@
+"""Checkpoint/model-dir roundtrip + FunASR converter mapping tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from asr2pass_tpu.config import paraformer_tiny
+from asr2pass_tpu.models import paraformer
+from asr2pass_tpu.runtime.model_zoo import (
+    load_offline_bundle,
+    load_params,
+    save_offline_bundle,
+    save_params,
+)
+from asr2pass_tpu.text.vocab import make_test_vocab
+
+
+def test_params_roundtrip(tmp_path):
+    cfg = paraformer_tiny()
+    params = paraformer.init(jax.random.PRNGKey(0), cfg)
+    p = str(tmp_path / "w.npz")
+    save_params(p, params)
+    loaded = load_params(p)
+    ref_leaves = jax.tree.leaves(params)
+    got_leaves = jax.tree.leaves(loaded)
+    assert len(ref_leaves) == len(got_leaves)
+    for a, b in zip(ref_leaves, got_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_bundle_roundtrip_and_inference(tmp_path):
+    cfg = paraformer_tiny()
+    params = paraformer.init(jax.random.PRNGKey(0), cfg)
+    vocab = make_test_vocab(cfg.vocab_size)
+    d = str(tmp_path / "model")
+    means = np.zeros(cfg.frontend.lfr_dim, np.float32)
+    vars_ = np.ones(cfg.frontend.lfr_dim, np.float32)
+    save_offline_bundle(d, params, cfg, vocab.tokens, cmvn=(means, vars_))
+    b = load_offline_bundle(d)
+    assert b.cfg.encoder.num_blocks == cfg.encoder.num_blocks
+    assert len(b.vocab) == cfg.vocab_size
+    # loaded params drive the model identically
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((1, 20, cfg.frontend.lfr_dim)).astype(np.float32)
+    out1 = paraformer.apply(params, cfg, jnp.asarray(feats),
+                            jnp.asarray([20]))
+    out2 = paraformer.apply(b.params, b.cfg, jnp.asarray(feats),
+                            jnp.asarray([20]))
+    np.testing.assert_allclose(np.asarray(out1.logits),
+                               np.asarray(out2.logits), rtol=1e-5)
+
+
+def _fake_funasr_sd(n_enc=3, n_dec=2, d=16, din=560, ffn=32, vocab=40,
+                    kernel=11):
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def lin(pfx, i, o):
+        sd[f"{pfx}.weight"] = rng.standard_normal((o, i)).astype(np.float32)
+        sd[f"{pfx}.bias"] = rng.standard_normal(o).astype(np.float32)
+
+    def norm(pfx, d_):
+        sd[f"{pfx}.weight"] = np.ones(d_, np.float32)
+        sd[f"{pfx}.bias"] = np.zeros(d_, np.float32)
+
+    def enc_layer(pfx, d_in):
+        norm(f"{pfx}.norm1", d_in)
+        lin(f"{pfx}.self_attn.linear_q_k_v", d_in, 3 * d)
+        sd[f"{pfx}.self_attn.fsmn_block.weight"] = \
+            rng.standard_normal((d, 1, kernel)).astype(np.float32)
+        lin(f"{pfx}.self_attn.linear_out", d, d)
+        norm(f"{pfx}.norm2", d)
+        lin(f"{pfx}.feed_forward.w_1", d, ffn)
+        lin(f"{pfx}.feed_forward.w_2", ffn, d)
+
+    enc_layer("encoder.encoders0.0", din)
+    for i in range(n_enc - 1):
+        enc_layer(f"encoder.encoders.{i}", d)
+    norm("encoder.after_norm", d)
+    sd["predictor.cif_conv1d.weight"] = \
+        rng.standard_normal((d, d, 3)).astype(np.float32)
+    sd["predictor.cif_conv1d.bias"] = np.zeros(d, np.float32)
+    lin("predictor.cif_output", d, 1)
+    for i in range(n_dec):
+        pfx = f"decoder.decoders.{i}"
+        norm(f"{pfx}.norm1", d)
+        sd[f"{pfx}.self_attn.fsmn_block.weight"] = \
+            rng.standard_normal((d, 1, kernel)).astype(np.float32)
+        norm(f"{pfx}.norm2", d)
+        lin(f"{pfx}.src_attn.linear_q", d, d)
+        lin(f"{pfx}.src_attn.linear_k_v", d, 2 * d)
+        lin(f"{pfx}.src_attn.linear_out", d, d)
+        norm(f"{pfx}.norm3", d)
+        lin(f"{pfx}.feed_forward.w_1", d, ffn)
+        lin(f"{pfx}.feed_forward.w_2", ffn, d)
+    norm("decoder.after_norm", d)
+    lin("decoder.output_layer", d, vocab)
+    return sd
+
+
+def test_convert_funasr_state_dict_runs_forward():
+    from asr2pass_tpu.config import (
+        DecoderConfig,
+        EncoderConfig,
+        ParaformerConfig,
+        PredictorConfig,
+    )
+    from asr2pass_tpu.tools.convert_funasr import convert_state_dict
+
+    sd = _fake_funasr_sd()
+    params = convert_state_dict(sd)
+    cfg = ParaformerConfig(
+        encoder=EncoderConfig(input_size=560, output_size=16, num_blocks=3,
+                              attention_heads=2, linear_units=32),
+        decoder=DecoderConfig(num_blocks=2, attention_heads=2,
+                              linear_units=32),
+        predictor=PredictorConfig(idim=16),
+        vocab_size=40,
+    )
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((1, 20, 560)).astype(np.float32)
+    out = paraformer.apply(params, cfg, jnp.asarray(feats),
+                           jnp.asarray([20]))
+    assert out.logits.shape[-1] == 40
+    assert int(out.token_num[0]) >= 0
