@@ -65,18 +65,29 @@ class ConnectionState:
         self.vad_tail_sil: Optional[int] = None
         self.vad_max_len: Optional[int] = None
         self.started = False
+        self.engine_sid: Optional[int] = None
+        self.engine_final = False
 
 
 class AsrWsServer:
     def __init__(self, models: ServerModels, host: str = "0.0.0.0",
                  port: int = 10095, decode_workers: int = 1,
-                 ssl_context=None):
+                 ssl_context=None, use_engine: bool = False,
+                 engine_capacity: int = 64):
         self.models = models
         self.host = host
         self.port = port
         self.ssl_context = ssl_context
         self.executor = ThreadPoolExecutor(max_workers=decode_workers)
         self._server = None
+        # batched serving: one StreamEngine shared by all connections,
+        # ticked by a background task (the TPU-native replacement for the
+        # reference's decoder-thread pool)
+        self.use_engine = use_engine
+        self.engine = None
+        self.engine_capacity = engine_capacity
+        self._engine_lock = None
+        self._engine_conns = {}   # sid -> (ws, ConnectionState)
 
     # -- decode helpers (run in executor) ------------------------------
     def _feed(self, st: ConnectionState, samples, is_final: bool):
@@ -123,7 +134,7 @@ class AsrWsServer:
             if hotwords:
                 st.hw_emb = self.models.compile_hotwords(hotwords)
             st.hotwords = hotwords
-            if st.mode in ("2pass", "online"):
+            if st.mode in ("2pass", "online") and not self.use_engine:
                 st.session = self.models.create_session(
                     mode=st.mode, vad_tail_sil=st.vad_tail_sil,
                     vad_max_len=st.vad_max_len, hw_emb=st.hw_emb,
@@ -134,6 +145,11 @@ class AsrWsServer:
                 )
             st.started = True
         if obj.get("is_speaking") is False:
+            if self.use_engine and st.mode != "offline":
+                await self._engine_feed(ws, st, np.zeros(0, np.float32),
+                                        True)
+                st.started = False
+                return
             if st.mode == "offline":
                 res = await loop.run_in_executor(
                     self.executor, self._offline_decode, st)
@@ -187,18 +203,75 @@ class AsrWsServer:
         if st.mode == "offline":
             st.offline_buf.extend(data)
             return
-        if st.session is None:
-            return
         samples = load_pcm_bytes(data)
         if st.audio_fs != self.models.asr_cfg.frontend.fs:
             from asr2pass_tpu.frontend.audio import linear_resample
 
             samples = linear_resample(samples, st.audio_fs,
                                       self.models.asr_cfg.frontend.fs)
+        if self.use_engine:
+            await self._engine_feed(ws, st, samples, False)
+            return
+        if st.session is None:
+            return
         loop = asyncio.get_running_loop()
         res = await loop.run_in_executor(self.executor, self._feed, st,
                                          samples, False)
         await self._emit_stream_results(ws, st, res)
+
+    # -- engine-backed path --------------------------------------------
+    async def _engine_feed(self, ws, st: ConnectionState, samples,
+                           is_final: bool):
+        if getattr(st, "engine_sid", None) is None:
+            async with self._engine_lock:
+                st.engine_sid = self.engine.open()
+            self._engine_conns[st.engine_sid] = (ws, st)
+        self.engine.feed(st.engine_sid, samples, is_final)
+        if is_final:
+            st.engine_final = True
+
+    async def _engine_loop(self):
+        loop = asyncio.get_running_loop()
+        while True:
+            has_work = self.engine is not None and any(
+                slot.active and (slot.audio_in or slot.pending_feats is not
+                                 None and slot.pending_feats.shape[0] > 0
+                                 or slot.seg_queue)
+                for slot in self.engine.slots)
+            if has_work:
+                async with self._engine_lock:
+                    await loop.run_in_executor(self.executor,
+                                               self.engine.step)
+                for sid, (ws, st) in list(self._engine_conns.items()):
+                    results = self.engine.poll(sid)
+                    for r in results:
+                        payload = {"text": r["text"], "mode": r["mode"],
+                                   "wav_name": st.wav_name,
+                                   "is_final": False}
+                        if "timestamp" in r:
+                            payload["timestamp"] = json.dumps(r["timestamp"])
+                            payload["stamp_sents"] = r.get("stamp_sents", [])
+                        try:
+                            await self._send(ws, payload)
+                        except Exception:
+                            pass
+                    if getattr(st, "engine_final", False):
+                        slot = self.engine.slots[sid]
+                        drained = (not slot.audio_in
+                                   and slot.pending_feats.shape[0] == 0
+                                   and not slot.seg_queue)
+                        if drained:
+                            st.engine_final = False
+                            try:
+                                await self._send(ws, {
+                                    "text": "", "mode": st.mode,
+                                    "wav_name": st.wav_name,
+                                    "is_final": True})
+                            except Exception:
+                                pass
+                await asyncio.sleep(0.005)
+            else:
+                await asyncio.sleep(0.02)
 
     async def handler(self, ws):
         st = ConnectionState()
@@ -215,15 +288,29 @@ class AsrWsServer:
                     await self._handle_json(ws, st, obj)
         except Exception as e:  # connection teardown
             log.info("connection closed: %s", e)
+        finally:
+            sid = getattr(st, "engine_sid", None)
+            if sid is not None:
+                self._engine_conns.pop(sid, None)
+                self.engine.close(sid)
 
     async def serve(self):
         import websockets
 
+        if self.use_engine:
+            from asr2pass_tpu.runtime.engine import StreamEngine
+
+            self.engine = StreamEngine(self.models,
+                                       capacity=self.engine_capacity)
+            self._engine_lock = asyncio.Lock()
+            self._engine_task = asyncio.get_running_loop().create_task(
+                self._engine_loop())
         self._server = await websockets.serve(
             self.handler, self.host, self.port, ssl=self.ssl_context,
             max_size=1 << 30,
         )
-        log.info("listening on %s:%d", self.host, self.port)
+        log.info("listening on %s:%d%s", self.host, self.port,
+                 " (engine-batched)" if self.use_engine else "")
         return self._server
 
     def run_forever(self):

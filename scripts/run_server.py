@@ -28,6 +28,10 @@ def main():
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=10095)
     p.add_argument("--decode-workers", type=int, default=1)
+    p.add_argument("--engine", action="store_true",
+                   help="batched StreamEngine serving (one jitted step "
+                        "advances all connections)")
+    p.add_argument("--engine-capacity", type=int, default=64)
     p.add_argument("--certfile", default="")
     p.add_argument("--keyfile", default="")
     p.add_argument("--demo", action="store_true",
@@ -102,7 +106,8 @@ def main():
 
     AsrWsServer(models, host=args.host, port=args.port,
                 decode_workers=args.decode_workers,
-                ssl_context=ssl_ctx).run_forever()
+                ssl_context=ssl_ctx, use_engine=args.engine,
+                engine_capacity=args.engine_capacity).run_forever()
 
 
 if __name__ == "__main__":

@@ -114,3 +114,28 @@ def test_parse_hotwords_forms():
     assert _parse_hotwords({"x": 5}) == {"x": 5}
     assert _parse_hotwords('["a","b"]') == {"a": 20, "b": 20}
     assert _parse_hotwords("") == {}
+
+
+def test_engine_backed_2pass_mode(models):
+    """Engine-batched serving path: same protocol, shared StreamEngine."""
+    async def run(port):
+        return await _run_client(port, "2pass", _pcm(2.5, seed=3))
+
+    async def with_engine_server(coro_fn):
+        server = AsrWsServer(models, host="127.0.0.1", port=0,
+                             use_engine=True, engine_capacity=4)
+        srv = await server.serve()
+        port = srv.sockets[0].getsockname()[1]
+        try:
+            return await coro_fn(port)
+        finally:
+            server._engine_task.cancel()
+            srv.close()
+            await srv.wait_closed()
+            server.executor.shutdown(wait=False)
+
+    msgs = asyncio.run(with_engine_server(run))
+    modes = {m.get("mode") for m in msgs}
+    assert "2pass-online" in modes
+    assert "2pass-offline" in modes
+    assert msgs[-1]["is_final"] is True
