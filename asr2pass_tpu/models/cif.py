@@ -100,15 +100,24 @@ def zero_state(batch: int, d: int) -> CifState:
 
 
 def fire(hidden, alphas, threshold: float,
-         state: Optional[CifState] = None
+         state: Optional[CifState] = None,
+         max_tokens: Optional[int] = None
          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, CifState]:
     """Integrate-and-fire.
 
     hidden: [B, T, D], alphas: [B, T] (zeroed where masked/padded).
-    Returns (frames [B, T, D] fired embeddings packed to the front,
+    Returns (frames [B, U, D] fired embeddings packed to the front,
     fire-counts [B], fires [B, T] bool per-step flags, new_state).
+
+    max_tokens bounds the packed token buffer U (default T — the
+    theoretical max of one fire per frame). Trained predictors fire ~1
+    token per 3+ LFR frames, so the pass-2 pipeline caps U ≈ T/2 to halve
+    decoder FLOPs; overflow tokens clamp into the guard slot and counts
+    saturate at max_tokens.
     """
     b, t, d = hidden.shape
+    if max_tokens is None:
+        max_tokens = t
     if state is None:
         state = zero_state(b, d)
 
@@ -133,16 +142,18 @@ def fire(hidden, alphas, threshold: float,
     frames = frames.transpose(1, 0, 2)      # [B, T, D] (valid where fired)
     # pack fired frames to the front of the token axis
     idx = jnp.cumsum(fires.astype(jnp.int32), axis=1) - 1
-    idx = jnp.where(fires, idx, t)          # dump non-fires past the end
-    packed = jnp.zeros((b, t + 1, d), hidden.dtype)
+    idx = jnp.where(fires, jnp.minimum(idx, max_tokens), max_tokens)
+    packed = jnp.zeros((b, max_tokens + 1, d), hidden.dtype)
     packed = packed.at[jnp.arange(b)[:, None], idx].add(
         frames * fires[..., None]
-    )[:, :t]
-    counts = jnp.sum(fires.astype(jnp.int32), axis=1)
+    )[:, :max_tokens]
+    counts = jnp.minimum(jnp.sum(fires.astype(jnp.int32), axis=1),
+                         max_tokens)
     return packed, counts, fires, CifState(integrate=integ, frame=frame)
 
 
-def fire_offline(hidden, alphas, threshold: float, tail_threshold: float):
+def fire_offline(hidden, alphas, threshold: float, tail_threshold: float,
+                 max_tokens: Optional[int] = None):
     """Offline fire with the tail-fire frame appended (tail_threshold row,
     mirroring CifSearch's is_last_chunk tail handling
     paraformer-online.cpp:295-299)."""
@@ -152,7 +163,8 @@ def fire_offline(hidden, alphas, threshold: float, tail_threshold: float):
     alphas_ext = jnp.concatenate(
         [alphas, jnp.full((b, 1), tail_threshold, alphas.dtype)], axis=1
     )
-    frames, counts, fires, _ = fire(hidden_ext, alphas_ext, threshold)
+    frames, counts, fires, _ = fire(hidden_ext, alphas_ext, threshold,
+                                    max_tokens=max_tokens)
     return frames, counts, fires
 
 

@@ -42,7 +42,8 @@ def init(key, cfg: ParaformerConfig):
 
 
 def apply(params, cfg: ParaformerConfig, feats, lengths,
-          hw_emb=None, hw_mask=None) -> ParaformerOutput:
+          hw_emb=None, hw_mask=None,
+          max_tokens=None) -> ParaformerOutput:
     """feats: [B, T, lfr_dim] LFR+CMVN features, lengths: [B].
 
     Equivalent of one offline Forward (paraformer.cpp:463-589): returns
@@ -55,7 +56,8 @@ def apply(params, cfg: ParaformerConfig, feats, lengths,
                              heads=cfg.encoder.attention_heads)
     alphas = cif.alphas_head(params["predictor"], enc, cfg.predictor, mask)
     ac_embeds, token_num, _ = cif.fire_offline(
-        enc, alphas, cfg.predictor.threshold, cfg.predictor.tail_threshold
+        enc, alphas, cfg.predictor.threshold, cfg.predictor.tail_threshold,
+        max_tokens=max_tokens,
     )
     tok_mask = length_mask(token_num, ac_embeds.shape[1])
     logits = sanm_decoder.apply(
@@ -73,10 +75,11 @@ def apply(params, cfg: ParaformerConfig, feats, lengths,
                             us_cif_peak=us_peak)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
+@functools.partial(jax.jit, static_argnums=(1, 6))
 def apply_jit(params, cfg: ParaformerConfig, feats, lengths,
-              hw_emb=None, hw_mask=None) -> ParaformerOutput:
-    return apply(params, cfg, feats, lengths, hw_emb, hw_mask)
+              hw_emb=None, hw_mask=None,
+              max_tokens=None) -> ParaformerOutput:
+    return apply(params, cfg, feats, lengths, hw_emb, hw_mask, max_tokens)
 
 
 def greedy_ids(out: ParaformerOutput):

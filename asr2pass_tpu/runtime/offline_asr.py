@@ -49,9 +49,11 @@ class ParaformerOffline:
         if hw_emb is not None and "hotword" in self.params["decoder"]:
             hw = jnp.asarray(np.broadcast_to(hw_emb[None], (b,) + hw_emb.shape))
             hw_mask = jnp.ones((b, hw_emb.shape[0]), jnp.float32)
+        # trained CIF fires ~1 token per 3+ LFR frames; T//2+8 slots halve
+        # decoder FLOPs with ample margin
         return paraformer.apply_jit(
             self.params, self.cfg, jnp.asarray(feats_batch),
-            jnp.asarray(lengths, jnp.int32), hw, hw_mask,
+            jnp.asarray(lengths, jnp.int32), hw, hw_mask, t // 2 + 8,
         )
 
     def recognize_batch(self, segments: List[np.ndarray],

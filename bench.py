@@ -124,7 +124,8 @@ def main():
 
     @jax.jit
     def forward(params, feats, lengths):
-        out = paraformer.apply(params, cfg, feats, lengths)
+        out = paraformer.apply(params, cfg, feats, lengths,
+                               max_tokens=t // 2 + 8)
         return paraformer.greedy_ids(out)
 
     rng = np.random.default_rng(0)
