@@ -68,9 +68,56 @@ def bench_online(args):
     return 0
 
 
+def bench_latency(args):
+    """p50 pass-2 final latency: single 15 s VAD segment, batch=1 — the
+    time from segment close to corrected final (BASELINE latency point)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asr2pass_tpu.config import paraformer_large
+    from asr2pass_tpu.models import paraformer
+    from asr2pass_tpu.utils import cast_floats
+
+    cfg = paraformer_large()
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    dev_init = jax.jit(lambda k: cast_floats(paraformer.init(k, cfg), dtype))
+    params = dev_init(jax.random.PRNGKey(0))
+    t = 256  # ~15 s segment bucket
+
+    @jax.jit
+    def forward(params, feats, lengths):
+        out = paraformer.apply(params, cfg, feats, lengths,
+                               max_tokens=t // 2 + 8)
+        return paraformer.greedy_ids(out)
+
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal(
+        (1, t, cfg.frontend.lfr_dim)).astype(np.float32), dtype=dtype)
+    lengths = jnp.full((1,), t, jnp.int32)
+    ids, n = forward(params, feats, lengths)
+    np.asarray(n)
+    times = []
+    for _ in range(args.iters * 2):
+        t0 = time.perf_counter()
+        ids, n = forward(params, feats, lengths)
+        np.asarray(n)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    p50 = times[len(times) // 2] * 1000
+    print(json.dumps({
+        "metric": "pass2_final_latency_p50_15s_segment",
+        "value": round(p50, 1),
+        "unit": "ms",
+        # budget: a final should land well inside one 600 ms chunk stride
+        "vs_baseline": round(600.0 / p50, 2),
+    }))
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["offline", "online"],
+    ap.add_argument("--mode", choices=["offline", "online", "latency"],
                     default="offline")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--streams", type=int, default=64)
@@ -101,6 +148,8 @@ def main():
 
     if args.mode == "online":
         return bench_online(args)
+    if args.mode == "latency":
+        return bench_latency(args)
     import jax.numpy as jnp
     import numpy as np
 
