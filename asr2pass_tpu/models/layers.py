@@ -46,7 +46,19 @@ def dense_init(key, d_in: int, d_out: int, bias: bool = True):
 
 def dense(p, x):
     # output dtype follows the input (bf16 in the serving path); the MXU
-    # accumulates fp32 internally regardless
+    # accumulates fp32 internally regardless. Quantized params (int8 "w_q"
+    # + per-output "scale", see utils.quantize_params) run the int8 MXU
+    # path with dynamic per-row activation quantization — the TPU-native
+    # equivalent of the reference's int8 model_quant.onnx default.
+    if "w_q" in p:
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        a_scale = jnp.maximum(amax, 1e-6) / 127.0
+        x_q = jnp.clip(jnp.round(x / a_scale), -127, 127).astype(jnp.int8)
+        y = jnp.dot(x_q, p["w_q"], preferred_element_type=jnp.int32)
+        y = y.astype(x.dtype) * (a_scale * p["scale"]).astype(x.dtype)
+        if "b" in p:
+            y = y + p["b"].astype(x.dtype)
+        return y
     y = jnp.dot(x, p["w"].astype(x.dtype))
     if "b" in p:
         y = y + p["b"].astype(x.dtype)

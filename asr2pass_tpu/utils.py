@@ -22,3 +22,34 @@ def force_cpu():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+def quantize_params(tree):
+    """Per-output-channel int8 weight quantization of every dense layer
+    ({"w"[,"b"]} dicts). Stacked [L, in, out] weights quantize per
+    [L, out]. LayerNorm/embedding/conv leaves stay float. The int8 path in
+    layers.dense activates automatically on "w_q" presence."""
+    import jax.numpy as jnp
+
+    def walk(node, name=""):
+        if isinstance(node, dict):
+            if name in ("conv", "us_conv", "embed"):
+                return node  # convs/embeddings keep float weights
+            if ("w" in node and hasattr(node["w"], "ndim")
+                    and node["w"].ndim in (2, 3) and "taps" not in node):
+                w = node["w"]
+                scale = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0
+                scale = jnp.maximum(scale, 1e-12)
+                w_q = jnp.clip(jnp.round(w / scale), -127, 127
+                               ).astype(jnp.int8)
+                out = {"w_q": w_q, "scale": jnp.squeeze(scale, axis=-2)}
+                if "b" in node:
+                    out["b"] = node["b"]
+                return out
+            return {k: walk(v, k) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            seq = [walk(v, name) for v in node]
+            return type(node)(seq) if isinstance(node, tuple) else seq
+        return node
+
+    return walk(tree)

@@ -125,6 +125,8 @@ def main():
                     help="audio seconds per segment")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 weight+activation quantized serving path")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -155,7 +157,7 @@ def main():
 
     from asr2pass_tpu.config import paraformer_large
     from asr2pass_tpu.models import paraformer
-    from asr2pass_tpu.utils import cast_floats
+    from asr2pass_tpu.utils import cast_floats, quantize_params
 
     cfg = paraformer_large()
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
@@ -166,10 +168,16 @@ def main():
     b = args.batch
 
     # init params directly on device (avoids shipping ~900 MB over PCIe/
-    # tunnel from host); cast to serving dtype
-    dev_init = jax.jit(lambda k: cast_floats(paraformer.init(k, cfg), dtype))
+    # tunnel from host); cast to serving dtype (or quantize to int8)
+    def make(k):
+        p = paraformer.init(k, cfg)
+        if args.int8:
+            return quantize_params(cast_floats(p, dtype))
+        return cast_floats(p, dtype)
+
+    dev_init = jax.jit(make)
     params = dev_init(jax.random.PRNGKey(0))
-    jax.block_until_ready(params["decoder"]["out"]["w"])
+    jax.block_until_ready(jax.tree.leaves(params)[0])
 
     @jax.jit
     def forward(params, feats, lengths):
