@@ -93,10 +93,13 @@ def step(params, cfg: ParaformerConfig, state: OnlineState,
                              heads=cfg.encoder.attention_heads)
 
     alphas = cif.alphas_head(params["predictor"], enc, cfg.predictor, wmask)
-    # emit-region mask
+    # emit-region mask; window pos p holds global frame (pos - cache_len
+    # + p), so on early chunks also exclude positions before frame 0 (the
+    # zero-initialized cache region must never fire)
     ar = jnp.arange(w)[None, :]
     hi = jnp.where(is_final, cache_len + new_count, lookback + new_count)
-    emit = (ar >= lookback) & (ar < hi[:, None])
+    lo = jnp.maximum(lookback, cache_len - state.pos)
+    emit = (ar >= lo[:, None]) & (ar < hi[:, None])
     alphas = alphas * emit.astype(jnp.float32)
     # tail fire on final streams: one extra slot
     tail_a = jnp.where(is_final, cfg.predictor.tail_threshold, 0.0)

@@ -1,0 +1,145 @@
+"""Learned end-to-end proof: train the tiny Paraformer on synthetic
+tone-audio with our own train step, then transcribe NEW audio through the
+full pipeline (waveform -> fbank -> LFR -> encoder -> CIF -> decoder ->
+detokenize) and check it is actually correct.
+
+This is the correctness test the reference cannot express (it has no
+training code): it validates the whole framework — front-end, model math,
+CIF firing, training objective, checkpointing shapes, offline recognizer —
+as one system that can learn and serve.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from asr2pass_tpu.config import (
+    DecoderConfig,
+    EncoderConfig,
+    ParaformerConfig,
+    PredictorConfig,
+)
+from asr2pass_tpu.models import paraformer
+from asr2pass_tpu.runtime.offline_asr import ParaformerOffline
+from asr2pass_tpu.runtime.streaming_frontend import offline_frontend
+from asr2pass_tpu.text.vocab import Vocab
+from asr2pass_tpu.train import train as train_mod
+
+FS = 16000
+TONE_S = 0.36           # 6 LFR frames per token
+N_TONES = 6
+FREQS = [350 * (1.35 ** k) for k in range(N_TONES)]
+TOKENS = ["<blank>", "<s>", "</s>", "<unk>"] + [chr(0x4E00 + k)
+                                                for k in range(N_TONES)]
+FIRST_ID = 4
+SEQ_LEN = 6             # tokens per training utterance
+
+
+def _cfg():
+    d = 48
+    return ParaformerConfig(
+        encoder=EncoderConfig(input_size=560, output_size=d, num_blocks=2,
+                              attention_heads=2, linear_units=96),
+        decoder=DecoderConfig(num_blocks=1, attention_heads=2,
+                              linear_units=96),
+        predictor=PredictorConfig(idim=d),
+        vocab_size=len(TOKENS),
+    )
+
+
+def _tone_wave(seq):
+    parts = []
+    n = int(FS * TONE_S)
+    t = np.arange(n) / FS
+    for tok in seq:
+        f = FREQS[tok - FIRST_ID]
+        parts.append(0.3 * np.sin(2 * np.pi * f * t))
+    return np.concatenate(parts).astype(np.float32)
+
+
+def _feats(seq, cfg):
+    return offline_frontend(_tone_wave(seq), cfg.frontend)
+
+
+@pytest.fixture(scope="module")
+def trained():
+    cfg = _cfg()
+    rng = np.random.default_rng(0)
+    params = paraformer.init(jax.random.PRNGKey(0), cfg)
+    optimizer = train_mod.make_optimizer(lr=2e-3)
+    opt_state = optimizer.init(params)
+    step = jax.jit(lambda p, o, b: train_mod.train_step(p, o, b, cfg,
+                                                        optimizer))
+    t_frames = _feats([FIRST_ID] * SEQ_LEN, cfg).shape[0]
+    b = 8
+    losses = []
+    for it in range(240):
+        seqs = rng.integers(FIRST_ID, FIRST_ID + N_TONES, (b, SEQ_LEN))
+        feats = np.stack([_feats(list(s), cfg) for s in seqs])
+        batch = train_mod.TrainBatch(
+            feats=jnp.asarray(feats),
+            feat_lens=jnp.full((b,), t_frames, jnp.int32),
+            targets=jnp.asarray(seqs, jnp.int32),
+            target_lens=jnp.full((b,), SEQ_LEN, jnp.int32),
+        )
+        params, opt_state, metrics = step(params, opt_state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.5, f"no learning: {losses[::60]}"
+    return cfg, params
+
+
+def test_trained_model_transcribes_new_audio(trained):
+    cfg, params = trained
+    vocab = Vocab(TOKENS)
+    rec = ParaformerOffline(params, cfg, vocab)
+    rng = np.random.default_rng(123)
+    total, correct = 0, 0
+    for _ in range(8):
+        seq = list(rng.integers(FIRST_ID, FIRST_ID + N_TONES, SEQ_LEN))
+        text, _ = rec.recognize(_tone_wave(seq))
+        expect = "".join(TOKENS[i] for i in seq)
+        total += len(expect)
+        # char-level accuracy
+        correct += sum(a == b for a, b in zip(text, expect))
+    acc = correct / total
+    assert acc > 0.8, f"trained pipeline accuracy too low: {acc:.2f}"
+
+
+def test_trained_model_quantized_still_works(trained):
+    """int8 quantization preserves the learned behavior."""
+    from asr2pass_tpu.utils import quantize_params
+
+    cfg, params = trained
+    vocab = Vocab(TOKENS)
+    rec = ParaformerOffline(quantize_params(params), cfg, vocab)
+    rng = np.random.default_rng(7)
+    seq = list(rng.integers(FIRST_ID, FIRST_ID + N_TONES, SEQ_LEN))
+    text, _ = rec.recognize(_tone_wave(seq))
+    expect = "".join(TOKENS[i] for i in seq)
+    acc = sum(a == b for a, b in zip(text, expect)) / len(expect)
+    assert acc > 0.6
+
+
+def test_trained_model_streams_correctly(trained):
+    """The chunked streaming path reproduces the trained model's offline
+    transcription (regression for the first-chunk emit-mask bug: the
+    zero-initialized cache region must never fire)."""
+    from asr2pass_tpu.runtime.asr_stream import ParaformerOnlineStream
+
+    cfg, params = trained
+    rng = np.random.default_rng(50)
+    total, correct = 0, 0
+    for _ in range(4):
+        seq = list(rng.integers(FIRST_ID, FIRST_ID + N_TONES, SEQ_LEN))
+        wave = _tone_wave(seq)
+        s = ParaformerOnlineStream(params, cfg, Vocab(TOKENS))
+        text = ""
+        for off in range(0, len(wave), 9600):
+            text += s.accept(wave[off: off + 9600],
+                             is_final=off + 9600 >= len(wave))
+        expect = "".join(TOKENS[i] for i in seq)
+        total += len(expect)
+        correct += sum(a == b for a, b in zip(text, expect))
+    assert correct / total > 0.8
