@@ -27,6 +27,7 @@ from typing import Optional
 import numpy as np
 
 from asr2pass_tpu.frontend.audio import load_pcm_bytes, load_wav_bytes
+from asr2pass_tpu.runtime.metrics import GLOBAL as METRICS
 from asr2pass_tpu.server.engine import ServerModels
 
 log = logging.getLogger("asr2pass.server")
@@ -91,7 +92,10 @@ class AsrWsServer:
 
     # -- decode helpers (run in executor) ------------------------------
     def _feed(self, st: ConnectionState, samples, is_final: bool):
-        return st.session.feed(samples, is_final)
+        with METRICS.stage("2pass_feed"):
+            res = st.session.feed(samples, is_final)
+        METRICS.add_audio(res.snippet_time)
+        return res
 
     def _offline_decode(self, st: ConnectionState):
         data = bytes(st.offline_buf)
@@ -112,7 +116,10 @@ class AsrWsServer:
             vad_tail_sil=st.vad_tail_sil or 800,
             vad_max_len=st.vad_max_len or 60000,
         )
-        return rec.transcribe(samples, hw_emb=st.hw_emb, use_itn=st.itn)
+        with METRICS.stage("offline_decode"):
+            res = rec.transcribe(samples, hw_emb=st.hw_emb, use_itn=st.itn)
+        METRICS.add_audio(res.snippet_time)
+        return res
 
     # -- protocol ------------------------------------------------------
     async def _send(self, ws, payload: dict):
@@ -120,6 +127,10 @@ class AsrWsServer:
 
     async def _handle_json(self, ws, st: ConnectionState, obj: dict):
         loop = asyncio.get_running_loop()
+        if obj.get("action") == "stats":
+            # observability extension (the reference has none, SURVEY §5)
+            await self._send(ws, {"stats": METRICS.report()})
+            return
         if not st.started:
             st.mode = obj.get("mode", st.mode)
             st.wav_name = obj.get("wav_name", st.wav_name)

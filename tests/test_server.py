@@ -139,3 +139,16 @@ def test_engine_backed_2pass_mode(models):
     assert "2pass-online" in modes
     assert "2pass-offline" in modes
     assert msgs[-1]["is_final"] is True
+
+
+def test_stats_protocol_extension(models):
+    async def run(port):
+        import websockets
+
+        async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+            await ws.send(json.dumps({"action": "stats"}))
+            return json.loads(await asyncio.wait_for(ws.recv(), timeout=30))
+
+    msg = asyncio.run(_with_server(models, run))
+    assert "stats" in msg
+    assert "uptime_s" in msg["stats"]
