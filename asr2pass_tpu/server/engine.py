@@ -55,6 +55,8 @@ class ServerModels:
     lm: Any = None
     lexicon: Any = None
     lm_weight: float = 0.5
+    # server-side hotwords merged with per-connection ones
+    server_hotwords: Any = None
 
     def _punctuator(self) -> Optional[Punctuator]:
         if self.punc_params is None:

@@ -142,6 +142,10 @@ class AsrWsServer:
             st.vad_tail_sil = obj.get("vad_tail_sil")
             st.vad_max_len = obj.get("vad_max_len")
             hotwords = _parse_hotwords(obj.get("hotwords"))
+            if self.models.server_hotwords:
+                merged = dict(self.models.server_hotwords)
+                merged.update(hotwords)
+                hotwords = merged
             if hotwords:
                 st.hw_emb = self.models.compile_hotwords(hotwords)
             st.hotwords = hotwords

@@ -71,6 +71,10 @@ def main():
         b = load_offline_bundle(args.model_dir)
         models = ServerModels(asr_params=b.params, asr_cfg=b.cfg,
                               vocab=b.vocab, asr_cmvn=b.cmvn)
+        if args.online_model_dir:
+            ob = load_offline_bundle(args.online_model_dir)
+            models.online_params = ob.params
+            models.online_cfg = ob.cfg
         if args.vad_dir:
             from asr2pass_tpu.config import VadConfig
             from asr2pass_tpu.frontend.audio import parse_kaldi_cmvn
@@ -96,6 +100,22 @@ def main():
         from asr2pass_tpu.text.itn import ChineseITN
 
         models.itn = ChineseITN()
+    if args.hotword_file and os.path.exists(args.hotword_file):
+        # server-side hotwords merged with per-connection ones
+        # (ExtractHws role, util.cpp:1001-1096)
+        hws = {}
+        with open(args.hotword_file, encoding="utf-8") as f:
+            for line in f:
+                parts = line.strip().split(" ")
+                if len(parts) >= 2:
+                    try:
+                        hws[" ".join(parts[:-1])] = int(parts[-1])
+                        continue
+                    except ValueError:
+                        pass
+                if parts and parts[0]:
+                    hws[parts[0]] = 20
+        models.server_hotwords = hws
 
     ssl_ctx = None
     if args.certfile:
