@@ -13,7 +13,7 @@ import shutil
 import struct
 import subprocess
 import wave
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

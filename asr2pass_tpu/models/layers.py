@@ -19,6 +19,7 @@ re-derived, not copied):
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -219,15 +220,20 @@ def sanm_attention(p, x, heads: int, mask=None, att_mask=None):
         if mask is not None:
             out = out * mask[..., None]
         return out
+    # bf16 score matrices (opt-in) halve the dominant HBM traffic of
+    # long-segment attention; logits are max-subtracted inside softmax so
+    # bf16 range is safe, at ~3 decimal digits of logit precision
+    sdtype = (x.dtype if os.environ.get("ASR2PASS_BF16_SCORES", "0") == "1"
+              else jnp.float32)
     scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh,
-                        preferred_element_type=jnp.float32) / math.sqrt(d_k)
-    neg = jnp.float32(-1e30)
+                        preferred_element_type=sdtype) / math.sqrt(d_k)
+    neg = jnp.asarray(-30000.0 if sdtype == jnp.bfloat16 else -1e30, sdtype)
     if mask is not None:
         scores = jnp.where(mask[:, None, None, :] > 0, scores, neg)
     if att_mask is not None:
         am = att_mask if att_mask.ndim == 3 else att_mask[None]
         scores = jnp.where(am[:, None, :, :] > 0, scores, neg)
-    att = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    att = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bhts,bhsd->bhtd", att, vh)
     out = dense(p["out"], _merge_heads(ctx)) + mem
     if mask is not None:

@@ -9,7 +9,7 @@ models/paraformer_online.py.
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import jax.numpy as jnp
 import numpy as np

@@ -10,7 +10,7 @@ retention window and maps VAD events {[s,e], [s,-1], [-1,e]} to
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np

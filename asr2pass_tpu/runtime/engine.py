@@ -20,7 +20,7 @@ caches, detok state) is tiny O(text) work.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional
+from typing import Any, List
 
 import jax.numpy as jnp
 import numpy as np
@@ -55,8 +55,6 @@ class _Slot:
 
 class StreamEngine:
     def __init__(self, models, capacity: int = 64, mode: str = "2pass"):
-        from asr2pass_tpu.server.engine import ServerModels  # typing only
-
         self.models = models
         self.capacity = capacity
         self.mode = mode

@@ -15,7 +15,7 @@ import numpy as np
 
 from asr2pass_tpu.runtime.offline_asr import ParaformerOffline
 from asr2pass_tpu.runtime.punc import Punctuator
-from asr2pass_tpu.runtime.vad_stream import FsmnVadStream, vad_segments_offline
+from asr2pass_tpu.runtime.vad_stream import vad_segments_offline
 from asr2pass_tpu.text import timestamps as ts_mod
 
 

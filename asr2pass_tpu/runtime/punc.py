@@ -13,7 +13,7 @@ Host-side orchestration around the CT-Transformer model:
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax.numpy as jnp
 import numpy as np

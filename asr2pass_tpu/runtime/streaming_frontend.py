@@ -18,7 +18,7 @@ from typing import Optional
 import numpy as np
 
 from asr2pass_tpu.config import FrontendConfig
-from asr2pass_tpu.frontend.fbank import FbankExtractor, get_extractor, num_frames
+from asr2pass_tpu.frontend.fbank import get_extractor, num_frames
 
 _BUCKET = 25  # frames per jit shape bucket (250 ms)
 

@@ -10,7 +10,7 @@ endpoints. Modes 'online' / 'offline' / '2pass' select which passes run
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 

@@ -10,9 +10,8 @@ English words (vocab.cpp:164-210, `last_is_complete_english_` at :177).
 from __future__ import annotations
 
 import json
-from typing import Iterable, List, Optional, Sequence
+from typing import Iterable, List, Sequence
 
-import numpy as np
 import yaml
 
 SPECIALS = {"<s>", "</s>", "<blank>", "<unk>", "<pad>", "<sos>", "<eos>"}
