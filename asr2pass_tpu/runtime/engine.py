@@ -75,6 +75,24 @@ class StreamEngine:
         self.center = ocfg.chunk_size[1]
         self.lfr_dim = ocfg.frontend.lfr_dim
 
+    def warmup(self):
+        """Compile the batched VAD + ASR steps before serving traffic
+        (first-compile is minutes on remote-compile TPU backends)."""
+        m = self.models
+        import jax.numpy as jnp
+
+        vdim = m.vad_cfg.input_dim
+        _nn_step(m.vad_params,
+                 jnp.zeros((self.capacity, _VAD_BUCKET, vdim), jnp.float32),
+                 self.vad_caches,
+                 jnp.zeros((self.capacity,), jnp.int32))
+        paraformer_online.step_jit(
+            self.oparams, self.ocfg, self.online_state,
+            jnp.zeros((self.capacity, self.center, self.lfr_dim),
+                      jnp.float32),
+            jnp.zeros((self.capacity,), jnp.int32),
+            jnp.zeros((self.capacity,), bool))
+
     # -- stream lifecycle ------------------------------------------------
     def open(self) -> int:
         for sid, slot in enumerate(self.slots):

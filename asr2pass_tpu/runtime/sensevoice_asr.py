@@ -97,6 +97,11 @@ class SenseVoiceOffline:
             for k, i in enumerate(idxs):
                 ids = self._decode(logits[k], int(lengths[k]))
                 text = self.vocab.to_string(ids)
+                # first NUM_META positions predict lang/emotion/event/
+                # textnorm (the meta tokens CTCSearch strips,
+                # sensevoice-small.cpp:323-377)
+                self.last_meta = [int(x) for x in
+                                  np.argmax(logits[k, :NUM_META], -1)]
                 results[i] = (text, [])
         return [r if r is not None else ("", []) for r in results]
 

@@ -317,6 +317,8 @@ class AsrWsServer:
 
             self.engine = StreamEngine(self.models,
                                        capacity=self.engine_capacity)
+            await asyncio.get_running_loop().run_in_executor(
+                self.executor, self.engine.warmup)
             self._engine_lock = asyncio.Lock()
             self._engine_task = asyncio.get_running_loop().create_task(
                 self._engine_loop())

@@ -136,6 +136,8 @@ class ChineseITN:
             # decimal
             (re.compile(f"({num})点({num})"),
              lambda m: self._decimal(f"{m.group(1)}点{m.group(2)}")),
+            # ordinal: 第X -> 第N
+            (re.compile(f"第({num})"), lambda m: f"第{_num(m.group(1))}"),
             # plain cardinal (longest spans last)
             (re.compile(num), lambda m: _num(m.group(0))),
         ]
