@@ -1,0 +1,93 @@
+"""True 2-process distributed test: the sharded train step over a global
+mesh spanning two 'hosts' (4 CPU devices each) must produce the same loss
+as the single-process 8-device run — the functional core of the BASELINE
+'N>=2 hosts' scaling point (DP over the inter-process link, TP within a
+host)."""
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = textwrap.dedent("""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+sys.path.insert(0, {root!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from asr2pass_tpu.parallel.multihost import init_distributed, make_global_mesh
+os.environ["COORDINATOR_ADDRESS"] = "127.0.0.1:{port}"
+os.environ["NUM_PROCESSES"] = "2"
+os.environ["PROCESS_ID"] = sys.argv[1]
+assert init_distributed()
+
+import numpy as np
+import jax.numpy as jnp
+from asr2pass_tpu.config import (DecoderConfig, EncoderConfig,
+                                 ParaformerConfig, PredictorConfig)
+from asr2pass_tpu.models import paraformer
+from asr2pass_tpu.parallel.sharding import (data_sharding, param_shardings,
+                                            shard_params)
+from asr2pass_tpu.train import train as train_mod
+
+mesh = make_global_mesh(tp=2)
+assert mesh.shape["dp"] == 4 and mesh.shape["tp"] == 2
+d = 32
+cfg = ParaformerConfig(
+    encoder=EncoderConfig(input_size=560, output_size=d, num_blocks=2,
+                          attention_heads=2, linear_units=4 * d),
+    decoder=DecoderConfig(num_blocks=2, attention_heads=2,
+                          linear_units=4 * d),
+    predictor=PredictorConfig(idim=d),
+    vocab_size=64,
+)
+params = paraformer.init(jax.random.PRNGKey(0), cfg)
+pshard = param_shardings(params, mesh)
+params = shard_params(params, mesh)
+optimizer = train_mod.make_optimizer()
+opt_state = optimizer.init(params)
+ds = data_sharding(mesh)
+step = train_mod.make_sharded_train_step(cfg, optimizer, mesh, pshard, ds)
+rng = np.random.default_rng(0)
+b, t, u = 8, 24, 6
+batch = train_mod.TrainBatch(
+    feats=jax.make_array_from_process_local_data(
+        ds, rng.standard_normal((b, t, 560)).astype(np.float32)[
+            jax.process_index() * (b // 2):(jax.process_index() + 1) * (b // 2)]),
+    feat_lens=jax.make_array_from_process_local_data(
+        ds, np.full((b // 2,), t, np.int32)),
+    targets=jax.make_array_from_process_local_data(
+        ds, rng.integers(4, 64, (b, u)).astype(np.int32)[
+            jax.process_index() * (b // 2):(jax.process_index() + 1) * (b // 2)]),
+    target_lens=jax.make_array_from_process_local_data(
+        ds, np.full((b // 2,), u, np.int32)),
+)
+params, opt_state, metrics = step(params, opt_state, batch)
+loss = float(np.asarray(jax.device_get(metrics["loss"])))
+print(f"RESULT loss={{loss:.6f}}", flush=True)
+""")
+
+
+def test_two_host_train_step_agrees():
+    port = 29913
+    src = _WORKER.format(root=ROOT, port=port)
+    procs = [subprocess.Popen([sys.executable, "-c", src, str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for i in range(2)]
+    losses = []
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=540)
+        text = out.decode()
+        assert p.returncode == 0, f"proc {i} failed:\n{text[-2000:]}"
+        for line in text.splitlines():
+            if line.startswith("RESULT loss="):
+                losses.append(float(line.split("=")[1]))
+    assert len(losses) == 2
+    # both hosts observe the identical global loss
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+    assert losses[0] > 0
