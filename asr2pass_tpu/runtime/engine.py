@@ -50,7 +50,6 @@ class _Slot:
     seg_queue: list = field(default_factory=list)  # offline AudioFrames
     punc_cache: list = field(default_factory=list)
     results: list = field(default_factory=list)
-    stream_ids: list = field(default_factory=list)
 
 
 class StreamEngine:

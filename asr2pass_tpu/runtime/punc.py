@@ -144,7 +144,6 @@ class Punctuator:
         out_tokens, out_punc = self._windows(tokens, ids, cache_words)
         # assemble, skipping cached tokens
         words: List[str] = []
-        punc_out: List[str] = []
         for i, (t, p) in enumerate(zip(out_tokens, out_punc)):
             tt = t
             if (ord(t[0]) < 128 and i + 1 < len(out_tokens)
@@ -152,7 +151,6 @@ class Punctuator:
                 tt = t + " "
             if i >= cache_words:
                 words.append(tt)
-                punc_out.append(self.tok.id2punc(p))
                 if p not in _NO_EMIT:
                     words.append(self.tok.id2punc(p))
         # cache = words after the last sentence end

@@ -23,6 +23,9 @@ def main():
     p.add_argument("--online-model-dir", help="streaming model directory")
     p.add_argument("--vad-dir", help="VAD model directory")
     p.add_argument("--punc-dir", help="punctuation model directory")
+    p.add_argument("--lm-dir", help="n-gram LM dir (lm.arpa + lexicon.txt, "
+                                    "see tools/build_lm.py)")
+    p.add_argument("--lm-weight", type=float, default=0.5)
     p.add_argument("--itn", action="store_true", help="enable ITN")
     p.add_argument("--hotword-file", default="")
     p.add_argument("--host", default="0.0.0.0")
@@ -96,6 +99,14 @@ def main():
                 os.path.join(args.punc_dir, "weights.npz"))
             models.punc_tokenizer = PuncTokenizer.from_file(
                 os.path.join(args.punc_dir, "tokens.json"))
+    if getattr(args, "lm_dir", None):
+        from asr2pass_tpu.decode.lm_decoder import Lexicon
+        from asr2pass_tpu.decode.ngram import NgramLM
+
+        models.lm = NgramLM.load_arpa(os.path.join(args.lm_dir, "lm.arpa"))
+        models.lexicon = Lexicon.from_file(
+            os.path.join(args.lm_dir, "lexicon.txt"))
+        models.lm_weight = args.lm_weight
     if args.itn:
         from asr2pass_tpu.text.itn import ChineseITN
 
