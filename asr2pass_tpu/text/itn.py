@@ -35,16 +35,19 @@ def _parse_digit_string(s: str) -> Optional[str]:
 
 
 def _parse_section(s: str) -> Optional[int]:
-    """Parse a <万 section like 三千五百二十一."""
+    """Parse a <万 section like 三千五百二十一 (incl. colloquial 三千五=3500)."""
     total = 0
     num = 0
     seen_unit = False
+    last_unit = 0
+    after_zero = False
     i = 0
     while i < len(s):
         ch = s[i]
         if ch in _DIGITS:
             if ch in ("零", "〇"):
                 num = 0
+                after_zero = True
             else:
                 num = _DIGITS[ch]
             i += 1
@@ -55,10 +58,18 @@ def _parse_section(s: str) -> Optional[int]:
             total += num * unit
             num = 0
             seen_unit = True
+            last_unit = unit
+            after_zero = False
             i += 1
         else:
             return None
-    total += num
+    if num:
+        # trailing digit: colloquial half-unit (三千五 = 3500) unless an
+        # explicit 零 pins it to the ones place (三千零五 = 3005)
+        if seen_unit and not after_zero and last_unit >= 100:
+            total += num * (last_unit // 10)
+        else:
+            total += num
     if not seen_unit and len(s) > 1 and all(c in _DIGITS for c in s):
         # multi-char pure digit sequence: read positionally (二零二五)
         return None
@@ -77,6 +88,7 @@ def parse_zh_number(s: str) -> Optional[str]:
     # split on 亿 then 万
     total = 0
     rest = s
+    last_big = 0
     for ch, mul in (("亿", 10 ** 8), ("万", 10 ** 4)):
         if ch in rest:
             left, rest = rest.rsplit(ch, 1)
@@ -84,19 +96,50 @@ def parse_zh_number(s: str) -> Optional[str]:
             if sec is None or not sec.isdigit():
                 return None
             total += int(sec) * mul
+            last_big = mul
     if rest:
-        # handle leading 十 (十五 = 15)
-        sec = _parse_section(rest)
-        if sec is None:
-            return None
-        # 三万零五百: rest picks up as-is
-        total += sec
+        if (last_big and len(rest) == 1 and rest in _DIGITS
+                and rest not in ("零", "〇")):
+            # colloquial half-unit after 万/亿: 两万五 = 25000
+            total += _DIGITS[rest] * (last_big // 10)
+        else:
+            # handle leading 十 (十五 = 15); 三万零五百 picks up as-is
+            sec = _parse_section(rest.lstrip("零〇"))
+            if sec is None:
+                return None
+            total += sec
     return str(total)
 
 
 def _num(m_str: str) -> str:
     v = parse_zh_number(m_str)
     return v if v is not None else m_str
+
+
+# Words/idioms whose numeral chars are lexical, not quantities — the
+# reference's FST grammar whitelists these the same way (tagger rules in
+# the compiled zh_itn_tagger.fst; cf. itn-processor.cpp:53-87).
+_PROTECTED_WORDS = (
+    "一起", "一样", "一些", "一直", "一边", "一切", "一致", "一旦",
+    "一般", "一再", "一同", "一时", "一味", "一面", "一下子", "一下",
+    "一会儿", "一会", "一点点", "有一点", "一点儿", "一块儿", "一帆风顺",
+    "一干二净", "一清二楚", "一心一意", "三心二意", "二话不说", "独一无二",
+    "万一", "统一", "唯一", "专一", "单一", "合二为一", "不二", "一流",
+    "一生", "一身", "一贯", "一律", "一共", "一向", "一度", "一带一路",
+)
+
+_PROTECTED_RE = re.compile(
+    "|".join(sorted((re.escape(w) for w in _PROTECTED_WORDS),
+                    key=len, reverse=True)))
+
+# Measure units whose first char is also a numeral unit char (千克 etc.)
+# MUST be matched as part of a measure rule or the numeral regex eats it.
+_MEASURE_UNITS = (
+    "千克", "千米", "千瓦时", "千瓦", "千卡", "千斤", "万米",
+    "公斤", "公里", "公分", "摄氏度", "毫米", "毫升", "毫克", "厘米",
+    "平方米", "立方米", "平方公里", "米", "克", "吨", "升", "度", "斤",
+    "岁", "倍", "秒钟", "分钟", "小时", "天", "周", "个月", "英里", "英尺",
+)
 
 
 class ChineseITN:
@@ -106,7 +149,32 @@ class ChineseITN:
     def __init__(self, enable: bool = True):
         self.enable = enable
         num = _NUM_RE
+        unit = "|".join(_MEASURE_UNITS)
+        dig = "零〇一幺二两三四五六七八九十"  # chars that anchor a number
+        # lazy numeral for unit rules: prefers the longest unit (千克,
+        # 千瓦时, …) over folding the unit's 千 into the number; requires
+        # a digit char so bare 千克/万 never parse as 1000/10000
+        lnum = (f"[{_NUM_CHARS}]*?[{dig}][{_NUM_CHARS}]*?"
+                f"(?:点[{_NUM_CHARS}]+?)?")
         self._rules = [
+            # negatives with a measure unit first, then bare
+            (re.compile(f"负({lnum})({unit})"),
+             lambda m: f"-{self._decimal(m.group(1))}{m.group(2)}"),
+            (re.compile(f"零下({lnum})({unit})"),
+             lambda m: f"-{self._decimal(m.group(1))}{m.group(2)}"),
+            (re.compile(f"零下({num}(?:点{num})?)"),
+             lambda m: f"-{self._decimal(m.group(1))}"),
+            (re.compile(f"负({num}(?:点{num})?)"),
+             lambda m: f"-{self._decimal(m.group(1))}"),
+            # measure with a 万/亿 number: greedy so 两万五千米 = 25000米
+            # (the 千 belongs to the number, not the unit)
+            (re.compile(f"([{_NUM_CHARS}]*[万亿][{_NUM_CHARS}]*"
+                        f"(?:点[{_NUM_CHARS}]+)?)({unit})"),
+             lambda m: f"{self._decimal(m.group(1))}{m.group(2)}"),
+            # measure: number + unit (ITN_ORDERS "measure" category,
+            # itn-token-parser.cpp:25-45)
+            (re.compile(f"({lnum})({unit})"),
+             lambda m: f"{self._decimal(m.group(1))}{m.group(2)}"),
             # fraction / percent (X分之Y -> Y/X, 百分之X -> X%)
             (re.compile(f"百分之({num}(?:点{num})?)"),
              lambda m: f"{self._decimal(m.group(1))}%"),
@@ -138,8 +206,10 @@ class ChineseITN:
              lambda m: self._decimal(f"{m.group(1)}点{m.group(2)}")),
             # ordinal: 第X -> 第N
             (re.compile(f"第({num})"), lambda m: f"第{_num(m.group(1))}"),
-            # plain cardinal (longest spans last)
-            (re.compile(num), lambda m: _num(m.group(0))),
+            # plain cardinal (longest spans last); must contain a digit
+            # char so a lone unit char (千米's 千) is never a number
+            (re.compile(f"[{_NUM_CHARS}]*[{dig}][{_NUM_CHARS}]*"),
+             lambda m: _num(m.group(0))),
         ]
 
     @staticmethod
@@ -168,7 +238,25 @@ class ChineseITN:
     def normalize(self, text: str) -> str:
         if not self.enable or not text:
             return text
-        out = text
+        # shield lexical uses of numeral chars (一起, 万一, …) from the
+        # numeric grammar, longest match first
+        shielded: list = []
+
+        def _shield(m):
+            shielded.append(m.group(0))
+            return f"\x00{len(shielded) - 1}\x01"
+
+        out = _PROTECTED_RE.sub(_shield, text)
         for pattern, repl in self._rules:
-            out = pattern.sub(repl, out)
+            # each rule's output is shielded so later rules never
+            # re-parse it — first matching category wins, like the
+            # reference's single tagger∘verbalizer shortest path
+            def _apply(m, _repl=repl):
+                shielded.append(_repl(m))
+                return f"\x00{len(shielded) - 1}\x01"
+
+            out = pattern.sub(_apply, out)
+        if shielded:
+            out = re.sub(
+                "\x00(\\d+)\x01", lambda m: shielded[int(m.group(1))], out)
         return out

@@ -78,3 +78,45 @@ def test_plain_text_unchanged(itn):
 def test_disabled_passthrough():
     itn = ChineseITN(enable=False)
     assert itn.normalize("一百") == "一百"
+
+
+def test_measure_units(itn):
+    # units whose first char is a numeral unit (千克, 千瓦时) must not be
+    # folded into the number (ITN_ORDERS "measure", itn-token-parser.cpp)
+    assert itn.normalize("体重七十五千克") == "体重75千克"
+    assert itn.normalize("一千瓦时") == "1千瓦时"
+    assert itn.normalize("三点五千克") == "3.5千克"
+    assert itn.normalize("三百米") == "300米"
+    # bare unit with no number stays text
+    assert itn.normalize("每千克五元") == "每千克5元"
+    # a 万-number keeps its 千: 两万五千米 is 25000 meters
+    assert itn.normalize("两万五千米") == "25000米"
+
+
+def test_negative_numbers(itn):
+    assert itn.normalize("零下五摄氏度") == "-5摄氏度"
+    assert itn.normalize("零下十二度") == "-12度"
+    assert itn.normalize("负三点五度") == "-3.5度"
+
+
+def test_colloquial_half_units(itn):
+    assert itn.normalize("工资两万五") == "工资25000"
+    assert itn.normalize("三千五") == "3500"
+    assert itn.normalize("一百二") == "120"
+    # explicit 零 pins the trailing digit to the ones place
+    assert itn.normalize("三千零五") == "3005"
+    assert itn.normalize("一百零二") == "102"
+
+
+def test_protected_words(itn):
+    # lexical numerals are not quantities
+    assert itn.normalize("我们一起去") == "我们一起去"
+    assert itn.normalize("万一出事") == "万一出事"
+    assert itn.normalize("统一行动") == "统一行动"
+    assert itn.normalize("这一度是难题") == "这一度是难题"
+    assert itn.normalize("有一点累") == "有一点累"
+
+
+def test_digit_sequence_reading(itn):
+    # 幺 = 1 digit-by-digit reading (phone numbers)
+    assert itn.normalize("电话幺三五二四六八零") == "电话13524680"
