@@ -106,7 +106,17 @@ class AsrWsServer:
                 samples, fs = load_wav_bytes(data)
                 st.audio_fs = fs
             except Exception:
-                samples = load_pcm_bytes(data)
+                # any-format upload (mp3/flac/...): ffmpeg, like the
+                # reference's FfmpegLoad (audio.cpp:286-446); raw PCM as
+                # the last resort
+                try:
+                    from asr2pass_tpu.frontend.audio import ffmpeg_decode
+
+                    samples = ffmpeg_decode(
+                        data, self.models.asr_cfg.frontend.fs)
+                    st.audio_fs = self.models.asr_cfg.frontend.fs
+                except Exception:
+                    samples = load_pcm_bytes(data)
         if st.audio_fs != self.models.asr_cfg.frontend.fs:
             from asr2pass_tpu.frontend.audio import linear_resample
 

@@ -157,16 +157,29 @@ def convert_state_dict(sd: Dict[str, np.ndarray]) -> dict:
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("src", help="FunASR model dir (model.pt, config.yaml, "
-                               "am.mvn, tokens.json)")
+    p.add_argument("src", help="FunASR model dir (model.pt or model.onnx, "
+                               "config.yaml, am.mvn, tokens.json)")
     p.add_argument("dst", help="output model dir")
     args = p.parse_args(argv)
 
-    import torch
+    pt = os.path.join(args.src, "model.pt")
+    if os.path.exists(pt):
+        import torch
 
-    sd = torch.load(os.path.join(args.src, "model.pt"),
-                    map_location="cpu", weights_only=True)
-    sd = {k: v.numpy() for k, v in sd.items()}
+        sd = torch.load(pt, map_location="cpu", weights_only=True)
+        sd = {k: v.numpy() for k, v in sd.items()}
+    else:
+        # exported deployment dirs ship ONNX only; torch.onnx export keeps
+        # the module-qualified parameter names as initializer names
+        onnx_path = os.path.join(args.src, "model.onnx")
+        if not os.path.exists(onnx_path):
+            p.error(f"neither model.pt nor model.onnx in {args.src}")
+        from asr2pass_tpu.tools.onnx_reader import read_onnx
+
+        sd = read_onnx(onnx_path).initializers
+        # strip any export prefix and trailing const-folding suffixes
+        sd = {k.removeprefix("onnx::").split("::")[0]: v
+              for k, v in sd.items()}
     params = convert_state_dict(sd)
 
     import shutil

@@ -1,0 +1,453 @@
+"""Dependency-free ONNX model reader + minimal JAX graph executor.
+
+The reference ships several auxiliary ONNX models (the DNSMOS MOS scorers
+in utils/DNSMOS/*.onnx used by utils/dnsmos_local.py, and the exported
+FunASR model dirs its servers auto-download). This module reads the ONNX
+protobuf container with a hand-rolled wire-format parser (no `onnx` /
+`onnxruntime` dependency) and provides:
+
+  * read_onnx(path) -> OnnxGraph: initializers {name: np.ndarray}, nodes
+    (op_type, inputs, outputs, attrs), graph inputs/outputs. Use this to
+    convert ONNX checkpoints into our npz model dirs
+    (tools/convert_funasr.py accepts .onnx via this reader — torch.onnx
+    export keeps the module-qualified parameter names).
+  * OnnxExecutor: a small jit-able executor covering the op set of the
+    auxiliary models (conv/pool/gemm/activations/normalization/...) so
+    e.g. DNSMOS runs natively on JAX (tools/quality.py). It is NOT a
+    general ONNX runtime — unsupported ops raise with the op name.
+
+Wire format: each field = varint key (field_no << 3 | wire_type);
+wire types 0=varint 1=fixed64 2=length-delimited 5=fixed32.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# protobuf wire-format primitives
+# --------------------------------------------------------------------------
+
+
+def _read_varint(buf: memoryview, pos: int) -> Tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _fields(buf: memoryview):
+    """Yield (field_no, wire_type, value) over a message buffer.
+    value: int for varint/fixed, memoryview for length-delimited."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        key, pos = _read_varint(buf, pos)
+        fno, wt = key >> 3, key & 7
+        if wt == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wt == 1:
+            val = int.from_bytes(buf[pos:pos + 8], "little")
+            pos += 8
+        elif wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos:pos + ln]
+            pos += ln
+        elif wt == 5:
+            val = int.from_bytes(buf[pos:pos + 4], "little")
+            pos += 4
+        else:  # groups (3/4) don't occur in onnx
+            raise ValueError(f"unsupported wire type {wt}")
+        yield fno, wt, val
+
+
+def _packed_varints(val) -> List[int]:
+    out = []
+    pos = 0
+    while pos < len(val):
+        v, pos = _read_varint(val, pos)
+        out.append(v)
+    return out
+
+
+def _zigzag64(v: int) -> int:
+    # onnx int64 fields are plain (not zigzag); keep two's complement
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# --------------------------------------------------------------------------
+# ONNX messages
+# --------------------------------------------------------------------------
+
+_DTYPES = {
+    1: np.float32, 2: np.uint8, 3: np.int8, 4: np.uint16, 5: np.int16,
+    6: np.int32, 7: np.int64, 9: np.bool_, 10: np.float16, 11: np.float64,
+    12: np.uint32, 13: np.uint64,
+}
+
+
+def _parse_tensor(buf: memoryview) -> Tuple[str, np.ndarray]:
+    dims: List[int] = []
+    dtype = 1
+    name = ""
+    raw: Optional[bytes] = None
+    float_data: List[float] = []
+    int_data: List[int] = []
+    for fno, wt, val in _fields(buf):
+        if fno == 1:
+            if wt == 0:
+                dims.append(_zigzag64(val))
+            else:
+                dims.extend(_zigzag64(v) for v in _packed_varints(val))
+        elif fno == 2 and wt == 0:
+            dtype = val
+        elif fno == 4:  # float_data (packed)
+            float_data.extend(
+                np.frombuffer(bytes(val), dtype="<f4").tolist()
+                if wt == 2 else
+                [np.frombuffer(val.to_bytes(4, "little"), "<f4")[0]])
+        elif fno in (5, 7):  # int32_data / int64_data (packed varints)
+            if wt == 2:
+                int_data.extend(_zigzag64(v) for v in _packed_varints(val))
+            else:
+                int_data.append(_zigzag64(val))
+        elif fno == 8 and wt == 2:
+            name = bytes(val).decode("utf-8")
+        elif fno == 9 and wt == 2:
+            raw = bytes(val)
+    np_dtype = _DTYPES.get(dtype, np.float32)
+    if raw is not None:
+        arr = np.frombuffer(raw, dtype=np_dtype)
+    elif float_data:
+        arr = np.asarray(float_data, dtype=np_dtype)
+    elif int_data:
+        arr = np.asarray(int_data, dtype=np_dtype)
+    else:
+        arr = np.zeros(0, dtype=np_dtype)
+    if dims:
+        arr = arr.reshape(dims)
+    return name, arr
+
+
+def _parse_attribute(buf: memoryview) -> Tuple[str, object]:
+    name = ""
+    value: object = None
+    ints: List[int] = []
+    floats: List[float] = []
+    strings: List[bytes] = []
+    for fno, wt, val in _fields(buf):
+        if fno == 1 and wt == 2:
+            name = bytes(val).decode("utf-8")
+        elif fno == 2 and wt == 5:  # f
+            value = np.frombuffer(val.to_bytes(4, "little"), "<f4")[0]
+        elif fno == 3 and wt == 0:  # i
+            value = _zigzag64(val)
+        elif fno == 4 and wt == 2:  # s
+            value = bytes(val)
+        elif fno == 5 and wt == 2:  # t (tensor)
+            value = _parse_tensor(val)[1]
+        elif fno == 7:  # floats
+            if wt == 2:
+                floats.extend(np.frombuffer(bytes(val), "<f4").tolist())
+            else:
+                floats.append(
+                    np.frombuffer(val.to_bytes(4, "little"), "<f4")[0])
+        elif fno == 8:  # ints
+            if wt == 2:
+                ints.extend(_zigzag64(v) for v in _packed_varints(val))
+            else:
+                ints.append(_zigzag64(val))
+        elif fno == 9 and wt == 2:  # strings
+            strings.append(bytes(val))
+    if ints:
+        value = ints
+    elif floats:
+        value = floats
+    elif strings and value is None:
+        value = strings
+    return name, value
+
+
+@dataclass
+class OnnxNode:
+    op_type: str
+    inputs: List[str]
+    outputs: List[str]
+    attrs: Dict[str, object]
+    name: str = ""
+
+
+@dataclass
+class OnnxGraph:
+    initializers: Dict[str, np.ndarray] = field(default_factory=dict)
+    nodes: List[OnnxNode] = field(default_factory=list)
+    inputs: List[str] = field(default_factory=list)
+    outputs: List[str] = field(default_factory=list)
+    input_shapes: Dict[str, List[Optional[int]]] = field(default_factory=dict)
+
+
+def _parse_value_info(buf: memoryview):
+    name = ""
+    shape: List[Optional[int]] = []
+    for fno, wt, val in _fields(buf):
+        if fno == 1 and wt == 2:
+            name = bytes(val).decode("utf-8")
+        elif fno == 2 and wt == 2:  # TypeProto
+            for f2, w2, v2 in _fields(val):
+                if f2 == 1 and w2 == 2:  # tensor_type
+                    for f3, w3, v3 in _fields(v2):
+                        if f3 == 2 and w3 == 2:  # shape
+                            for f4, w4, v4 in _fields(v3):
+                                if f4 == 1 and w4 == 2:  # dim
+                                    dv: Optional[int] = None
+                                    for f5, w5, v5 in _fields(v4):
+                                        if f5 == 1 and w5 == 0:
+                                            dv = _zigzag64(v5)
+                                    shape.append(dv)
+    return name, shape
+
+
+def _parse_node(buf: memoryview) -> OnnxNode:
+    node = OnnxNode(op_type="", inputs=[], outputs=[], attrs={})
+    for fno, wt, val in _fields(buf):
+        if fno == 1 and wt == 2:
+            node.inputs.append(bytes(val).decode("utf-8"))
+        elif fno == 2 and wt == 2:
+            node.outputs.append(bytes(val).decode("utf-8"))
+        elif fno == 3 and wt == 2:
+            node.name = bytes(val).decode("utf-8")
+        elif fno == 4 and wt == 2:
+            node.op_type = bytes(val).decode("utf-8")
+        elif fno == 5 and wt == 2:
+            k, v = _parse_attribute(val)
+            node.attrs[k] = v
+    return node
+
+
+def _parse_graph(buf: memoryview) -> OnnxGraph:
+    g = OnnxGraph()
+    for fno, wt, val in _fields(buf):
+        if fno == 1 and wt == 2:
+            g.nodes.append(_parse_node(val))
+        elif fno == 5 and wt == 2:
+            name, arr = _parse_tensor(val)
+            g.initializers[name] = arr
+        elif fno == 11 and wt == 2:
+            name, shape = _parse_value_info(val)
+            g.inputs.append(name)
+            g.input_shapes[name] = shape
+        elif fno == 12 and wt == 2:
+            name, _ = _parse_value_info(val)
+            g.outputs.append(name)
+    # graph "inputs" include initializers in older opsets; drop them
+    g.inputs = [n for n in g.inputs if n not in g.initializers]
+    return g
+
+
+def read_onnx(path: str) -> OnnxGraph:
+    """Parse a .onnx file into an OnnxGraph (initializers as numpy)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    buf = memoryview(data)
+    for fno, wt, val in _fields(buf):
+        if fno == 7 and wt == 2:  # ModelProto.graph
+            return _parse_graph(val)
+    raise ValueError(f"{path}: no graph found (not an ONNX model?)")
+
+
+# --------------------------------------------------------------------------
+# Minimal JAX executor (op set of the auxiliary models)
+# --------------------------------------------------------------------------
+
+
+class OnnxExecutor:
+    """Execute an OnnxGraph with jax.numpy (nodes are in topological
+    order per the ONNX spec). Covers the DNSMOS-family op set; raises
+    NotImplementedError naming any other op. `jax.jit(executor)` works —
+    all shapes are static given static inputs."""
+
+    def __init__(self, graph: OnnxGraph):
+        self.g = graph
+
+    def __call__(self, *inputs):
+        import jax.numpy as jnp
+
+        env: Dict[str, object] = dict(self.g.initializers)
+        for name, x in zip(self.g.inputs, inputs):
+            env[name] = x
+
+        def get(n):
+            return env[n] if n else None
+
+        for node in self.g.nodes:
+            t = node.op_type
+            i = node.inputs
+            a = node.attrs
+            if t in ("Identity", "Dropout", "Cast"):
+                out = get(i[0])
+            elif t == "Add":
+                out = jnp.add(get(i[0]), get(i[1]))
+            elif t == "Mul":
+                out = jnp.multiply(get(i[0]), get(i[1]))
+            elif t == "Div":
+                out = jnp.divide(get(i[0]), get(i[1]))
+            elif t == "Sub":
+                out = jnp.subtract(get(i[0]), get(i[1]))
+            elif t == "Max":
+                out = get(i[0])
+                for other in i[1:]:
+                    out = jnp.maximum(out, get(other))
+            elif t == "Sqrt":
+                out = jnp.sqrt(get(i[0]))
+            elif t == "Pow":
+                out = jnp.power(get(i[0]), get(i[1]))
+            elif t == "Log":
+                out = jnp.log(get(i[0]))
+            elif t == "Relu":
+                out = jnp.maximum(get(i[0]), 0)
+            elif t == "Sigmoid":
+                import jax
+
+                out = jax.nn.sigmoid(get(i[0]))
+            elif t == "MatMul":
+                out = jnp.matmul(get(i[0]), get(i[1]))
+            elif t == "Gemm":
+                x, w = jnp.asarray(get(i[0])), jnp.asarray(get(i[1]))
+                if a.get("transA"):
+                    x = x.T
+                if a.get("transB"):
+                    w = w.T
+                out = jnp.matmul(x, w) * float(a.get("alpha", 1.0))
+                if len(i) > 2:
+                    out = out + jnp.asarray(get(i[2])) * float(
+                        a.get("beta", 1.0))
+            elif t == "Transpose":
+                out = jnp.transpose(get(i[0]), a.get("perm"))
+            elif t == "Unsqueeze":
+                axes = a.get("axes") or [int(v) for v in
+                                         np.asarray(get(i[1])).tolist()]
+                out = get(i[0])
+                for ax in sorted(axes):
+                    out = jnp.expand_dims(out, ax)
+            elif t == "Squeeze":
+                axes = a.get("axes") or ([int(v) for v in
+                                          np.asarray(get(i[1])).tolist()]
+                                         if len(i) > 1 else None)
+                out = jnp.squeeze(get(i[0]), tuple(axes) if axes else None)
+            elif t == "Reshape":
+                shape = [int(v) for v in np.asarray(get(i[1])).tolist()]
+                out = jnp.reshape(get(i[0]), shape)
+            elif t == "Concat":
+                out = jnp.concatenate([get(n) for n in i],
+                                      axis=int(a.get("axis", 0)))
+            elif t == "Slice":
+                x = get(i[0])
+                if len(i) > 1:  # opset >= 10: tensors
+                    starts = np.asarray(get(i[1])).tolist()
+                    ends = np.asarray(get(i[2])).tolist()
+                    axes = (np.asarray(get(i[3])).tolist()
+                            if len(i) > 3 and i[3] else
+                            list(range(len(starts))))
+                    steps = (np.asarray(get(i[4])).tolist()
+                             if len(i) > 4 and i[4] else [1] * len(starts))
+                else:  # opset 1: attributes
+                    starts, ends = a["starts"], a["ends"]
+                    axes = a.get("axes", list(range(len(starts))))
+                    steps = [1] * len(starts)
+                idx = [slice(None)] * x.ndim
+                for s, e, ax, st in zip(starts, ends, axes, steps):
+                    big = 1 << 62
+                    e = None if e >= big else e
+                    idx[int(ax)] = slice(int(s), None if e is None
+                                         else int(e), int(st))
+                out = x[tuple(idx)]
+            elif t == "ReduceMax":
+                axes = a.get("axes")
+                out = jnp.max(get(i[0]),
+                              axis=tuple(axes) if axes else None,
+                              keepdims=bool(a.get("keepdims", 1)))
+            elif t == "ReduceMean":
+                axes = a.get("axes")
+                out = jnp.mean(get(i[0]),
+                               axis=tuple(axes) if axes else None,
+                               keepdims=bool(a.get("keepdims", 1)))
+            elif t == "GlobalAveragePool":
+                x = get(i[0])
+                out = jnp.mean(x, axis=tuple(range(2, x.ndim)),
+                               keepdims=True)
+            elif t == "Flatten":
+                x = get(i[0])
+                ax = int(a.get("axis", 1))
+                out = jnp.reshape(x, (int(np.prod(x.shape[:ax])), -1))
+            elif t == "Conv":
+                out = self._conv(get(i[0]), get(i[1]),
+                                 get(i[2]) if len(i) > 2 else None, a)
+            elif t == "MaxPool":
+                out = self._pool(get(i[0]), a, reducer="max")
+            elif t == "AveragePool":
+                out = self._pool(get(i[0]), a, reducer="mean")
+            else:
+                raise NotImplementedError(f"ONNX op {t} "
+                                          f"(node {node.name!r})")
+            env[node.outputs[0]] = out
+        return tuple(env[o] for o in self.g.outputs) \
+            if len(self.g.outputs) > 1 else env[self.g.outputs[0]]
+
+    @staticmethod
+    def _conv(x, w, b, a):
+        """NCHW Conv via lax.conv_general_dilated (maps onto the MXU)."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        x = jnp.asarray(x)
+        w = jnp.asarray(w)
+        spatial = w.ndim - 2
+        strides = a.get("strides", [1] * spatial)
+        dil = a.get("dilations", [1] * spatial)
+        pads = a.get("pads", [0] * (2 * spatial))
+        padding = [(int(pads[k]), int(pads[k + spatial]))
+                   for k in range(spatial)]
+        groups = int(a.get("group", 1))
+        dn = lax.conv_dimension_numbers(
+            x.shape, w.shape,
+            ("NCHW", "OIHW", "NCHW") if spatial == 2 else
+            ("NCW", "OIW", "NCW"))
+        out = lax.conv_general_dilated(
+            x, w, window_strides=[int(s) for s in strides],
+            padding=padding, rhs_dilation=[int(d) for d in dil],
+            dimension_numbers=dn, feature_group_count=groups)
+        if b is not None:
+            out = out + jnp.asarray(b).reshape(
+                (1, -1) + (1,) * spatial)
+        return out
+
+    @staticmethod
+    def _pool(x, a, reducer="max"):
+        import jax.numpy as jnp
+        from jax import lax
+
+        x = jnp.asarray(x)
+        spatial = len(a["kernel_shape"])
+        ks = [int(k) for k in a["kernel_shape"]]
+        strides = [int(s) for s in a.get("strides", ks)]
+        pads = a.get("pads", [0] * (2 * spatial))
+        padding = [(0, 0), (0, 0)] + [
+            (int(pads[k]), int(pads[k + spatial])) for k in range(spatial)]
+        window = (1, 1) + tuple(ks)
+        strides_full = (1, 1) + tuple(strides)
+        if reducer == "max":
+            init = -jnp.inf
+            out = lax.reduce_window(x, init, lax.max, window,
+                                    strides_full, padding)
+        else:
+            out = lax.reduce_window(x, 0.0, lax.add, window,
+                                    strides_full, padding)
+            out = out / float(np.prod(ks))
+        return out

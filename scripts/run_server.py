@@ -26,7 +26,10 @@ def main():
     p.add_argument("--lm-dir", help="n-gram LM dir (lm.arpa + lexicon.txt, "
                                     "see tools/build_lm.py)")
     p.add_argument("--lm-weight", type=float, default=0.5)
-    p.add_argument("--itn", action="store_true", help="enable ITN")
+    p.add_argument("--itn", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="ITN on finals (default on, like the reference's "
+                        "2pass launch scripts; --no-itn to disable)")
     p.add_argument("--hotword-file", default="")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=10095)
