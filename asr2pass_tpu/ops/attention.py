@@ -29,7 +29,10 @@ _NEG = -1e30
 def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
             sm_scale: float):
     # q_ref: [BLOCK_Q, D]; k_ref/v_ref: [T, D]; mask_ref: [1, T]
-    q = q_ref[:].astype(jnp.float32) * sm_scale
+    # MXU dots take the serving dtype (bf16) directly and accumulate fp32
+    # (fp32 MXU passes run at a fraction of bf16 rate); only the softmax
+    # statistics stay fp32.
+    q = q_ref[:]
     t = k_ref.shape[0]
     d = q_ref.shape[1]
     nblocks = t // block_k
@@ -40,16 +43,17 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
 
     def body(i, carry):
         m, l, acc = carry
-        k = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        k = k_ref[pl.ds(i * block_k, block_k), :]
+        v = v_ref[pl.ds(i * block_k, block_k), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
         valid = mask_ref[0, pl.ds(i * block_k, block_k)] > 0
         s = jnp.where(valid[None, :], s, _NEG)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(p.astype(v.dtype), v,
+                                    preferred_element_type=jnp.float32)
         return m_new, l, acc
 
     m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m, l, acc))
@@ -107,10 +111,13 @@ def flash_attention(q, k, v, mask, interpret: bool = False):
 import os
 
 # Opt-in: at the pass-2 shapes (T<=1024, d_head 128) XLA's fused batched
-# GEMM attention outperforms this kernel on v5e (measured: 6.5k vs 3.5k
-# audio-s/s/chip) — the score matrix traffic is not the bottleneck there.
-# The kernel pays off for much longer sequences (sequence-parallel offline
-# segments); enable with ASR2PASS_FLASH_ATTENTION=1.
+# GEMM attention outperforms this kernel on v5e even with bf16 MXU dots
+# (measured: 7.5k XLA vs 3.6k flash audio-s/s/chip at b=16 — the per-
+# q-block [128,128] dots underutilize the MXU pipeline, while XLA batches
+# all (b,h) into large GEMMs). Profiling shows the encoder is matmul-
+# bound, not score-traffic-bound, at these shapes. The kernel pays off
+# for much longer sequences (sequence-parallel offline segments);
+# enable with ASR2PASS_FLASH_ATTENTION=1.
 _FLASH_ENV = "ASR2PASS_FLASH_ATTENTION"
 
 
