@@ -153,10 +153,21 @@ class FbankExtractor:
             return jnp.zeros((0, self.cfg.n_mels), dtype=jnp.float32)
         return self._compute(wave, n)
 
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def _compute_batched(self, waves: jnp.ndarray,
+                         n_frames: int) -> jnp.ndarray:
+        frames = jax.vmap(
+            lambda w: self._frame(w * self.cfg.scale_input, n_frames)
+        )(waves)
+        b = frames.shape[0]
+        mel = self.frames_to_mel(frames.reshape(b * n_frames, -1))
+        return mel.reshape(b, n_frames, -1)
+
     def batched(self, waves: jnp.ndarray, n_frames: int) -> jnp.ndarray:
-        """[B, T] equal-length waveforms -> [B, n_frames, n_mels]."""
+        """[B, T] equal-length waveforms -> [B, n_frames, n_mels] in one
+        compiled program (one MXU matmul over B*n_frames windows)."""
         waves = jnp.asarray(waves, dtype=jnp.float32)
-        return jax.vmap(lambda w: self._compute(w, n_frames))(waves)
+        return self._compute_batched(waves, n_frames)
 
 
 @functools.lru_cache(maxsize=8)

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import math
 
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -19,11 +18,16 @@ def lfr_len(t: int, lfr_m: int, lfr_n: int) -> int:
 
 
 def apply_lfr(feats, lfr_m: int, lfr_n: int):
-    """[T, D] mel frames -> [ceil(T/lfr_n), D*lfr_m] stacked frames."""
-    feats = jnp.asarray(feats)
+    """[T, D] mel frames -> [ceil(T/lfr_n), D*lfr_m] stacked frames.
+
+    Host numpy on purpose: this is O(T*D) gather/elementwise glue between
+    the device fbank and the device encoder — an eager jnp version costs a
+    device dispatch (a network round-trip on remote-execution backends)
+    per call."""
+    feats = np.asarray(feats)
     t, d = feats.shape
     if t == 0:
-        return jnp.zeros((0, d * lfr_m), dtype=feats.dtype)
+        return np.zeros((0, d * lfr_m), dtype=feats.dtype)
     t_lfr = lfr_len(t, lfr_m, lfr_n)
     left = (lfr_m - 1) // 2
     # index of source frame for window i, tap j: i*lfr_n + j - left, clamped
@@ -39,7 +43,7 @@ def apply_lfr(feats, lfr_m: int, lfr_n: int):
 def apply_cmvn(feats, means, vars_):
     """(x + mean) * var, kaldi-nnet AddShift/Rescale semantics
     (paraformer.cpp:454-459)."""
-    return (feats + jnp.asarray(means)) * jnp.asarray(vars_)
+    return (np.asarray(feats) + np.asarray(means)) * np.asarray(vars_)
 
 
 def lfr_cmvn(feats, lfr_m: int, lfr_n: int, means, vars_):

@@ -27,13 +27,14 @@ import numpy as np
 
 from asr2pass_tpu.models import fsmn_vad, paraformer_online
 from asr2pass_tpu.runtime.audio_splitter import TwoPassSplitter
-from asr2pass_tpu.runtime.streaming_frontend import StreamingFrontend
+from asr2pass_tpu.runtime.streaming_frontend import (StreamingFrontend,
+                                                     batched_fbank)
 from asr2pass_tpu.runtime.vad_stream import _nn_step
 from asr2pass_tpu.text import timestamps as ts_mod
 from asr2pass_tpu.text.vocab import Vocab
 from asr2pass_tpu.vad.e2e_vad import E2EVadStateMachine, VadOptions
 
-_VAD_BUCKET = 64   # VAD frames per engine tick per slot (640 ms max)
+_VAD_BUCKET = 72   # VAD feature rows per tick (64 frames staged + LFR/residual carry)
 
 
 @dataclass
@@ -157,26 +158,55 @@ class StreamEngine:
         vdim = m.vad_cfg.input_dim
         batch_feats = np.zeros((self.capacity, _VAD_BUCKET, vdim), np.float32)
         valid = np.zeros(self.capacity, np.int32)
-        work = []  # (sid, samples, is_final, feats_len)
+        # stage every slot's VAD front-end, run ONE batched device fbank —
+        # per-slot dispatches are a network round-trip each on a remote-
+        # execution backend and would dominate the tick
+        staged = []  # (sid, samples, is_final, buf, n_frames)
+        # consume at most one VAD bucket of audio per slot per step —
+        # a burst-feeding client (whole file then is_speaking:false) must
+        # not overflow the fixed [capacity, _VAD_BUCKET] feature batch;
+        # leftovers stay queued and later steps drain them (the engine
+        # loop keeps stepping while any slot has work)
+        fcfg = m.vad_cfg.frontend
+        max_samples = 64 * fcfg.frame_shift * fcfg.lfr_n  # 0.64 s >= one chunk tick
         for sid, slot in enumerate(self.slots):
             if not slot.active or not slot.audio_in:
                 continue
-            samples = np.concatenate([s for s, _ in slot.audio_in]) \
-                if slot.audio_in else np.zeros(0, np.float32)
-            is_final = any(f for _, f in slot.audio_in)
-            slot.audio_in = []
-            feats = slot.vad_frontend.accept(samples, is_final)
+            datas, total, is_final = [], 0, False
+            while slot.audio_in and total < max_samples:
+                s, f = slot.audio_in.pop(0)
+                take = min(len(s), max_samples - total)
+                if take < len(s):
+                    slot.audio_in.insert(0, (s[take:], f))
+                    s, f = s[:take], False
+                datas.append(s)
+                total += len(s)
+                is_final = is_final or f
+            samples = (np.concatenate(datas) if datas
+                       else np.zeros(0, np.float32))
+            buf, nf = slot.vad_frontend.stage(samples)
+            staged.append((sid, samples, is_final, buf, nf))
+        if not staged:
+            return
+        mels = batched_fbank([s[3] for s in staged], [s[4] for s in staged],
+                             m.vad_cfg.frontend)
+        work = []  # (sid, samples, is_final, n_vad_rows)
+        for (sid, samples, is_final, _, _), mel in zip(staged, mels):
+            slot = self.slots[sid]
+            feats = slot.vad_frontend.commit(mel, is_final)
             n = min(feats.shape[0], _VAD_BUCKET)
             batch_feats[sid, :n] = feats[:n]
             valid[sid] = n
-            work.append((sid, samples, is_final, feats, n))
-        if not work:
-            return
+            work.append((sid, samples, is_final, n))
         probs, self.vad_caches = _nn_step(
             m.vad_params, jnp.asarray(batch_feats), self.vad_caches,
             jnp.asarray(valid))
         probs = np.asarray(probs)
-        for sid, samples, is_final, feats, n in work:
+        # VAD decisions + 2pass split per slot (host, O(frames)); collect
+        # the online frames into per-slot groups split at final flags so
+        # the ASR front-ends batch the same way
+        groups = {}  # sid -> [(data, is_final), ...]
+        for sid, samples, is_final, n in work:
             slot = self.slots[sid]
             events = slot.sm(
                 probs[sid, :n], samples, is_final=is_final, online=True,
@@ -187,16 +217,38 @@ class StreamEngine:
             online_frames, offline_frames = slot.splitter.feed(
                 samples, events, self.chunk_len, self.mode)
             slot.seg_queue.extend(offline_frames)
-            # online frames -> ASR front-end -> pending chunk frames
+            gs, cur = [], []
             for fr in online_frames:
-                f = slot.asr_frontend.accept(fr.data, fr.is_final)
+                cur.append(fr.data)
+                if fr.is_final:
+                    gs.append((np.concatenate(cur), True))
+                    cur = []
+            if cur:
+                gs.append((np.concatenate(cur), False))
+            if gs:
+                groups[sid] = gs
+            if is_final:
+                slot.splitter.reset()
+        # batched ASR front-end waves (usually a single round)
+        while groups:
+            stage2 = []
+            for sid in list(groups):
+                data, fin = groups[sid].pop(0)
+                if not groups[sid]:
+                    del groups[sid]
+                buf, nf = self.slots[sid].asr_frontend.stage(data)
+                stage2.append((sid, fin, buf, nf))
+            mels = batched_fbank([s[2] for s in stage2],
+                                 [s[3] for s in stage2],
+                                 self.ocfg.frontend)
+            for (sid, fin, _, _), mel in zip(stage2, mels):
+                slot = self.slots[sid]
+                f = slot.asr_frontend.commit(mel, fin)
                 if f.shape[0]:
                     slot.pending_feats = np.concatenate(
                         [slot.pending_feats, f])
-                if fr.is_final:
+                if fin:
                     slot.pending_final = True
-            if is_final:
-                slot.splitter.reset()
 
     def _asr_step(self):
         if self.mode == "offline":

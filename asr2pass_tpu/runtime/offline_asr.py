@@ -16,12 +16,21 @@ import numpy as np
 
 from asr2pass_tpu.config import ParaformerConfig
 from asr2pass_tpu.models import paraformer
-from asr2pass_tpu.runtime.streaming_frontend import offline_frontend
+from asr2pass_tpu.runtime.streaming_frontend import (offline_frontend,
+                                                     offline_frontend_batch)
 from asr2pass_tpu.text import timestamps as ts_mod
 from asr2pass_tpu.text.vocab import Vocab
 
 # feature-length buckets (LFR frames, 60 ms each): 3.8 s .. 61 s
 _BUCKETS = [64, 128, 256, 512, 1024]
+
+# batch-dimension buckets: like the length buckets these keep the set of
+# compiled programs small (len_buckets x batch_buckets) — without them
+# every distinct group size is a fresh XLA program (~minutes each through
+# a remote-compile tunnel). 16 is the measured throughput sweet spot for
+# 60 s segments on v5e (PARITY.md); larger groups split into chunks of 16.
+_BATCH_BUCKETS = [1, 2, 4, 8, 16]
+_MAX_BATCH = _BATCH_BUCKETS[-1]
 
 
 def _bucket(n: int) -> int:
@@ -29,6 +38,13 @@ def _bucket(n: int) -> int:
         if n <= b:
             return b
     return -(-n // _BUCKETS[-1]) * _BUCKETS[-1]
+
+
+def _batch_bucket(n: int) -> int:
+    for b in _BATCH_BUCKETS:
+        if n <= b:
+            return b
+    return _MAX_BATCH
 
 
 class ParaformerOffline:
@@ -65,8 +81,8 @@ class ParaformerOffline:
         the TPU equivalent of FetchDynamic+GPU batching (audio.cpp:1052-1108,
         paraformer-torch.cpp:301-420)."""
         means, vars_ = self.cmvn
-        feats = [offline_frontend(s, self.cfg.frontend, means, vars_)
-                 for s in segments]
+        feats = offline_frontend_batch(segments, self.cfg.frontend,
+                                       means, vars_)
         results: List[Optional[Tuple[str, List[List[float]]]]] = [None] * len(feats)
         # group indices by bucket
         groups = {}
@@ -75,14 +91,18 @@ class ParaformerOffline:
                 results[i] = ("", [])
                 continue
             groups.setdefault(_bucket(f.shape[0]), []).append(i)
-        for bucket, idxs in groups.items():
-            batch = np.zeros((len(idxs), bucket, self.cfg.frontend.lfr_dim),
+        chunks = [(bucket, idxs[j: j + _MAX_BATCH])
+                  for bucket, idxs in groups.items()
+                  for j in range(0, len(idxs), _MAX_BATCH)]
+        for bucket, idxs in chunks:
+            bb = _batch_bucket(len(idxs))
+            batch = np.zeros((bb, bucket, self.cfg.frontend.lfr_dim),
                              np.float32)
-            lens = []
+            lens = [0] * bb   # padded rows have length 0 (mask empty)
             for k, i in enumerate(idxs):
                 f = feats[i]
                 batch[k, : f.shape[0]] = f
-                lens.append(f.shape[0])
+                lens[k] = f.shape[0]
             out = self._forward(batch, lens, hw_emb)
             ids, counts = paraformer.greedy_ids(out)
             ids = np.asarray(ids)
@@ -90,6 +110,12 @@ class ParaformerOffline:
             logits_np = None
             if self.lm_decoder is not None:
                 logits_np = np.asarray(out.logits, np.float32)
+            us_a_np = us_p_np = None
+            if self.cfg.predictor.use_timestamp:
+                # transfer once per chunk; slicing device arrays per
+                # segment costs a round-trip each
+                us_a_np = np.asarray(out.us_alphas)
+                us_p_np = np.asarray(out.us_cif_peak)
             for k, i in enumerate(idxs):
                 n = int(counts[k])
                 tok_ids = [int(x) for x in ids[k, :n]]
@@ -104,8 +130,8 @@ class ParaformerOffline:
                         continue
                 if self.cfg.predictor.use_timestamp:
                     char_list = self.vocab.to_char_list(tok_ids)
-                    us_alphas = np.asarray(out.us_alphas[k, : lens[k] * 3])
-                    us_peak = np.asarray(out.us_cif_peak[k, : lens[k] * 3])
+                    us_alphas = us_a_np[k, : lens[k] * 3]
+                    us_peak = us_p_np[k, : lens[k] * 3]
                     _, _, token_ts = ts_mod.timestamp_from_peaks(
                         us_alphas, us_peak, list(char_list))
                     text, merged = ts_mod.post_process(char_list, token_ts)

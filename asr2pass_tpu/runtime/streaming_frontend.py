@@ -73,24 +73,43 @@ class StreamingFrontend:
         return (feats + self.means) * self.vars
 
     # -- public -----------------------------------------------------------
+    def stage(self, samples: np.ndarray):
+        """Phase 1 of a batched accept: absorb samples, return
+        (waveform_buffer, n_complete_frames) for an external batched fbank
+        call. Follow with commit(mel, is_final). The engine stages every
+        slot, runs ONE device fbank over the batch, then commits — per-slot
+        device dispatches through a remote-execution tunnel are the
+        dominant serving cost otherwise."""
+        samples = np.asarray(samples, dtype=np.float32)
+        buf = np.concatenate([self._residual, samples])
+        n = num_frames(len(buf), self.cfg)
+        if n > 0:
+            self._residual = buf[n * self.cfg.frame_shift:]
+        else:
+            self._residual = buf
+        return buf, n
+
+    def commit(self, mel: Optional[np.ndarray],
+               is_final: bool = False) -> np.ndarray:
+        """Phase 2: push externally computed mel rows (stage()'s frame
+        count) and emit complete LFR+CMVN windows."""
+        if mel is not None and mel.shape[0] > 0:
+            if self._mel is None or len(self._mel) == 0:
+                self._mel = np.asarray(mel, np.float32)
+            else:
+                self._mel = np.concatenate([self._mel, mel])
+            self._mel_total += mel.shape[0]
+        return self._emit(is_final)
+
     def accept(self, samples: np.ndarray, is_final: bool = False) -> np.ndarray:
         """Feed raw float32 samples; returns newly complete LFR+CMVN rows
         [n, lfr_dim]."""
-        cfg = self.cfg
-        samples = np.asarray(samples, dtype=np.float32)
-        buf = np.concatenate([self._residual, samples])
-        n = num_frames(len(buf), cfg)
-        if n > 0:
-            mel = self._fbank_chunk(buf)
-            self._residual = buf[n * cfg.frame_shift:]
-            if self._mel is None or len(self._mel) == 0:
-                self._mel = mel
-            else:
-                self._mel = np.concatenate([self._mel, mel])
-            self._mel_total += n
-        else:
-            self._residual = buf
+        buf, n = self.stage(samples)
+        mel = self._fbank_chunk(buf) if n > 0 else None
+        return self.commit(mel, is_final)
 
+    def _emit(self, is_final: bool) -> np.ndarray:
+        cfg = self.cfg
         left = (cfg.lfr_m - 1) // 2
         if is_final:
             # offline window count: ceil(T / lfr_n), tail repeats last frame
@@ -111,6 +130,35 @@ class StreamingFrontend:
         return out
 
 
+_BATCH_POW = [1, 2, 4, 8, 16, 32, 64, 128]
+
+
+def batched_fbank(bufs, ns, cfg: FrontendConfig):
+    """One jitted device fbank for many staged streams.
+
+    bufs: list of float32 waveform buffers (StreamingFrontend.stage
+    output), ns: complete-frame counts. Returns the per-stream mel arrays
+    [n_i, n_mels]. Batch and frame axes ride shape buckets so jit sees a
+    handful of programs. This is the engine's replacement for per-slot
+    fbank dispatches — on a remote-execution backend every dispatch is a
+    network round-trip, so S streams/tick must cost ONE, not S."""
+    k = len(bufs)
+    if k == 0:
+        return []
+    max_n = max(ns)
+    if max_n == 0:
+        return [np.zeros((0, cfg.n_mels), np.float32)] * k
+    bucket = -(-max_n // _BUCKET) * _BUCKET
+    need = cfg.frame_length + (bucket - 1) * cfg.frame_shift
+    kb = next((b for b in _BATCH_POW if b >= k), k)
+    waves = np.zeros((kb, need), np.float32)
+    for i, buf in enumerate(bufs):
+        m = min(len(buf), need)
+        waves[i, :m] = buf[:m]
+    mel = np.asarray(get_extractor(cfg).batched(waves, bucket))
+    return [mel[i, : ns[i]] for i in range(k)]
+
+
 def offline_frontend(samples, cfg: FrontendConfig, means=None, vars_=None):
     """One-shot front-end (fbank -> LFR -> CMVN), the offline reference
     path (paraformer.cpp:309-323,421-461). Returns [T_lfr, lfr_dim]."""
@@ -126,3 +174,28 @@ def offline_frontend(samples, cfg: FrontendConfig, means=None, vars_=None):
     if vars_ is None:
         vars_ = np.ones(cfg.lfr_dim, np.float32)
     return np.asarray(apply_cmvn(feats, means, vars_))
+
+
+def offline_frontend_batch(segments, cfg: FrontendConfig,
+                           means=None, vars_=None):
+    """offline_frontend over many segments with ONE device fbank call
+    (bucketed batch + frame axes) — per-segment dispatches are a network
+    round-trip each on a remote-execution backend. LFR/CMVN stay on host
+    (O(T) numpy)."""
+    from asr2pass_tpu.frontend.lfr import apply_cmvn, apply_lfr
+
+    if means is None:
+        means = np.zeros(cfg.lfr_dim, np.float32)
+    if vars_ is None:
+        vars_ = np.ones(cfg.lfr_dim, np.float32)
+    bufs = [np.asarray(s, np.float32) for s in segments]
+    ns = [num_frames(len(b), cfg) for b in bufs]
+    mels = batched_fbank(bufs, ns, cfg)
+    out = []
+    for mel in mels:
+        if mel.shape[0] == 0:
+            out.append(np.zeros((0, cfg.lfr_dim), np.float32))
+            continue
+        feats = np.asarray(apply_lfr(mel, cfg.lfr_m, cfg.lfr_n))
+        out.append(np.asarray(apply_cmvn(feats, means, vars_)))
+    return out

@@ -68,6 +68,79 @@ def bench_online(args):
     return 0
 
 
+def bench_engine(args):
+    """End-to-end 2pass serving: `--streams` concurrent streams through the
+    StreamEngine — batched FSMN-VAD NN + host VAD automaton + splitter +
+    batched pass-1 chunk steps + pooled bucket-batched pass-2 + detok —
+    at flagship geometry. This is the honest serving number: everything
+    the websocket layer does per tick except the socket itself."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asr2pass_tpu.config import (VadConfig, paraformer_large,
+                                     paraformer_large_online)
+    from asr2pass_tpu.models import fsmn_vad, paraformer
+    from asr2pass_tpu.runtime.engine import StreamEngine
+    from asr2pass_tpu.server.engine import ServerModels
+    from asr2pass_tpu.text.vocab import make_test_vocab
+    from asr2pass_tpu.utils import cast_floats
+
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    acfg = paraformer_large()
+    ocfg = paraformer_large_online()
+    init_a = jax.jit(lambda k: cast_floats(paraformer.init(k, acfg), dtype))
+    init_o = jax.jit(lambda k: cast_floats(paraformer.init(k, ocfg), dtype))
+    models = ServerModels(
+        asr_params=init_a(jax.random.PRNGKey(0)), asr_cfg=acfg,
+        vocab=make_test_vocab(acfg.vocab_size),
+        online_params=init_o(jax.random.PRNGKey(1)), online_cfg=ocfg,
+        vad_params=fsmn_vad.init(jax.random.PRNGKey(2), VadConfig()),
+        vad_cfg=VadConfig(),
+    )
+    s = args.streams
+    eng = StreamEngine(models, capacity=s)
+    eng.warmup()
+    sids = [eng.open() for _ in range(s)]
+    rng = np.random.default_rng(0)
+    # bursty audio so the (random-weight) VAD automaton produces endpoints
+    # and pass-2 segments actually fire
+    tick_s = 0.6  # one online chunk of audio per stream per tick
+    n_tick = int(16000 * tick_s)
+
+    def make_tick(k):
+        x = rng.standard_normal((s, n_tick)).astype(np.float32) * 0.05
+        if k % 8 < 5:
+            x *= 6.0  # speech burst
+        return x
+
+    warm_ticks, ticks = 4, args.iters
+    for k in range(warm_ticks):
+        x = make_tick(k)
+        for j, sid in enumerate(sids):
+            eng.feed(sid, x[j])
+        eng.step()
+    start = time.perf_counter()
+    for k in range(ticks):
+        x = make_tick(warm_ticks + k)
+        for j, sid in enumerate(sids):
+            eng.feed(sid, x[j])
+        eng.step()
+    elapsed = time.perf_counter() - start
+    for sid in sids:
+        eng.poll(sid)
+    per_tick = elapsed / ticks
+    sustainable = s * tick_s / per_tick
+    print(json.dumps({
+        "metric": "realtime_streams_per_chip_2pass_engine",
+        "value": round(sustainable, 0),
+        "unit": "streams",
+        # BASELINE config: 64 concurrent streams per chip
+        "vs_baseline": round(sustainable / 64.0, 2),
+    }))
+    return 0
+
+
 def bench_latency(args):
     """p50 pass-2 final latency: single 15 s VAD segment, batch=1 — the
     time from segment close to corrected final (BASELINE latency point)."""
@@ -117,7 +190,7 @@ def bench_latency(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["offline", "online", "latency"],
+    ap.add_argument("--mode", choices=["offline", "online", "latency", "engine"],
                     default="offline")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--streams", type=int, default=64)
@@ -150,6 +223,8 @@ def main():
 
     if args.mode == "online":
         return bench_online(args)
+    if args.mode == "engine":
+        return bench_engine(args)
     if args.mode == "latency":
         return bench_latency(args)
     import jax.numpy as jnp

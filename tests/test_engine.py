@@ -116,3 +116,27 @@ def test_engine_capacity_guard(models):
     eng.open()
     with pytest.raises(RuntimeError):
         eng.open()
+
+
+def test_engine_burst_feed_no_overflow(models):
+    """A client that delivers the whole utterance before the first step
+    (websocket burst) must lose nothing to the per-tick VAD bucket —
+    leftovers re-queue and later steps drain them."""
+    wave = _wave(5, seconds=3.0)
+
+    ticked = StreamEngine(models, capacity=2)
+    sid = ticked.open()
+    ref = _drive(ticked, sid, wave)
+
+    burst = StreamEngine(models, capacity=2)
+    sid2 = burst.open()
+    burst.feed(sid2, wave, is_final=True)
+    out = []
+    for _ in range(40):
+        burst.step()
+        out.extend(burst.poll(sid2))
+
+    def final_text(res):
+        return "".join(r["text"] for r in res if r["mode"] == "2pass-offline")
+
+    assert final_text(out) == final_text(ref)
