@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""Multi-chip / multi-host scaling benchmark (BASELINE report points).
+
+Runs the flagship pass-2 forward DP(xTP)-sharded over the global device
+mesh and reports aggregate audio-seconds/s plus scaling efficiency vs a
+single-device run of the same program. Prints ONE JSON line.
+
+Modes:
+  * single host, all local devices:   python scripts/bench_scaling.py
+  * virtual 8-device CPU mesh check:  python scripts/bench_scaling.py --virtual 8
+  * N hosts (run on EVERY host):
+      COORDINATOR_ADDRESS=host0:9911 NUM_PROCESSES=N PROCESS_ID=k \
+          python scripts/bench_scaling.py --tp 1
+    dp spans hosts over DCN; tp stays inside a host (ICI) —
+    parallel/multihost.py. Process 0 prints the result.
+
+The serving workload is stream/data parallel (independent VAD segments),
+so cross-host communication on the dp axis is zero at inference — the
+measured efficiency mostly exposes compile/dispatch skew, which is the
+honest number for this architecture.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--virtual", type=int, default=0,
+                   help="simulate N devices on CPU (mechanics check)")
+    p.add_argument("--tp", type=int, default=None,
+                   help="tensor-parallel degree (default: 2 if even)")
+    p.add_argument("--per-device-batch", type=int, default=4)
+    p.add_argument("--seconds", type=float, default=60.0)
+    p.add_argument("--iters", type=int, default=8)
+    args = p.parse_args(argv)
+
+    if args.virtual:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.virtual}")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asr2pass_tpu.config import paraformer_large, paraformer_tiny
+    from asr2pass_tpu.models import paraformer
+    from asr2pass_tpu.parallel import multihost, sharding
+    from asr2pass_tpu.utils import cast_floats
+
+    multihost.init_distributed()
+    cfg = paraformer_tiny() if args.virtual else paraformer_large()
+    dtype = jnp.float32 if args.virtual else jnp.bfloat16
+
+    def run(mesh) -> float:
+        """Throughput (audio-s/s) of the sharded forward on `mesh`."""
+        n_dev = mesh.devices.size
+        b = args.per_device_batch * (n_dev // mesh.shape["tp"])
+        t = int(args.seconds * 1000 / (cfg.frontend.frame_shift_ms
+                                       * cfg.frontend.lfr_n))
+        shapes = jax.eval_shape(lambda k: paraformer.init(k, cfg),
+                                jax.random.PRNGKey(0))
+        pshard = sharding.param_shardings(shapes, mesh)
+
+        def make(k):
+            return cast_floats(paraformer.init(k, cfg), dtype)
+
+        params = jax.jit(make, out_shardings=pshard)(jax.random.PRNGKey(0))
+        data = sharding.data_sharding(mesh)
+
+        @jax.jit
+        def forward(params, feats, lengths):
+            out = paraformer.apply(params, cfg, feats, lengths,
+                                   max_tokens=t // 2 + 8)
+            ids, n = paraformer.greedy_ids(out)
+            return jnp.sum(ids) + jnp.sum(n)
+
+        rng = np.random.default_rng(0)
+        feats = jax.device_put(
+            rng.standard_normal((b, t, cfg.frontend.lfr_dim)
+                                ).astype(np.float32).astype(dtype), data)
+        lengths = jax.device_put(
+            np.full((b,), t, np.int32),
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("dp")))
+        def sync(x):
+            # fetch only this process's addressable shard — the global
+            # scalar spans all hosts and is not directly fetchable
+            np.asarray(x.addressable_shards[0].data)
+
+        r = forward(params, feats, lengths)
+        sync(r)
+        start = time.perf_counter()
+        for _ in range(args.iters):
+            r = forward(params, feats, lengths)
+        sync(r)
+        elapsed = time.perf_counter() - start
+        return b * args.seconds * args.iters / elapsed
+
+    full_mesh = multihost.make_global_mesh(tp=args.tp)
+    n = full_mesh.devices.size
+    tput_n = run(full_mesh)
+
+    # single-device reference of the same program (perfect scaling target)
+    import numpy as np  # noqa: F811 (local scope in main)
+    from jax.sharding import Mesh
+
+    # per-process LOCAL device so every host can run + fetch its own
+    # reference (homogeneous hosts assumed)
+    single = Mesh(np.array(jax.local_devices()[:1]).reshape(1, 1),
+                  ("dp", "tp"))
+    tput_1 = run(single)
+
+    eff = tput_n / (n * tput_1) if tput_1 > 0 else 0.0
+    if jax.process_index() == 0:
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": f"fraction_of_linear_at_{n}_devices"
+                    f"_{jax.process_count()}_hosts",
+            "vs_baseline": round(eff / 0.85, 2),
+            "aggregate_audio_s_per_s": round(tput_n, 1),
+            "single_device_audio_s_per_s": round(tput_1, 1),
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
