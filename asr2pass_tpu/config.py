@@ -198,6 +198,9 @@ class SenseVoiceConfig:
                         ("ja", 11), ("ko", 12), ("nospeech", 13))
     textnorm_pairs: tuple = (("withitn", 14), ("woitn", 15))
     blank_id: int = 0
+    # detok/punc joining style for the offline pipeline (ParaformerConfig
+    # .lang counterpart); SenseVoice output text carries its own spacing
+    lang: str = "zh"
 
     @property
     def lid_dict(self) -> dict:

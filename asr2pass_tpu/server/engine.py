@@ -134,10 +134,30 @@ class ServerModels:
         )
 
     def create_offline_recognizer(self, vad_tail_sil: int = 800,
-                                  vad_max_len: int = 60000
+                                  vad_max_len: int = 60000,
+                                  use_svs: bool = False,
+                                  svs_lang: str = "auto",
+                                  svs_itn: bool = True,
+                                  hotwords: Optional[dict] = None
                                   ) -> OfflineRecognizer:
-        asr = ParaformerOffline(self.asr_params, self.asr_cfg, self.vocab,
-                                cmvn=self.asr_cmvn)
+        """Offline (whole-file) recognizer with the same AM/LM options as
+        2pass sessions: SenseVoice pass-2 alternative, TLG-style n-gram
+        rescoring, hotword bias (the reference's offline server initializes
+        a per-connection WFST decoder in on_open, websocket-server.cpp:
+        173-176, and OfflineStream supports the SVS model)."""
+        if use_svs and self.svs_params is not None:
+            from asr2pass_tpu.runtime.sensevoice_asr import SenseVoiceOffline
+
+            asr = SenseVoiceOffline(
+                self.svs_params, self.svs_cfg, self.svs_vocab or self.vocab,
+                cmvn=self.svs_cmvn, lang=svs_lang, use_itn_token=svs_itn,
+            )
+        else:
+            asr = ParaformerOffline(
+                self.asr_params, self.asr_cfg, self.vocab,
+                cmvn=self.asr_cmvn,
+                lm_decoder=self._make_lm_decoder(hotwords),
+            )
         return OfflineRecognizer(
             asr, vad_params=self.vad_params, vad_cfg=self.vad_cfg,
             vad_cmvn=self.vad_cmvn, punc=self._punctuator(), itn=self.itn,

@@ -125,6 +125,9 @@ class AsrWsServer:
         rec = self.models.create_offline_recognizer(
             vad_tail_sil=st.vad_tail_sil or 800,
             vad_max_len=st.vad_max_len or 60000,
+            use_svs=self.models.svs_params is not None,
+            svs_lang=st.svs_lang, svs_itn=st.svs_itn,
+            hotwords=getattr(st, "hotwords", None),
         )
         with METRICS.stage("offline_decode"):
             res = rec.transcribe(samples, hw_emb=st.hw_emb, use_itn=st.itn)

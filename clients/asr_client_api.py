@@ -24,7 +24,8 @@ class AsrClient:
     def __init__(self, url: str, mode: str = "offline",
                  chunk_size=(5, 10, 5), chunk_interval: int = 10,
                  hotwords: dict | None = None, use_itn: bool = True,
-                 audio_fs: int = 16000):
+                 audio_fs: int = 16000, svs_lang: str = "auto",
+                 svs_itn: bool = True):
         self.url = url
         self.mode = mode
         self.chunk_size = list(chunk_size)
@@ -32,6 +33,8 @@ class AsrClient:
         self.hotwords = hotwords or {}
         self.use_itn = use_itn
         self.audio_fs = audio_fs
+        self.svs_lang = svs_lang
+        self.svs_itn = svs_itn
 
     async def transcribe_pcm(self, pcm_bytes: bytes, wav_name: str = "api"
                              ) -> dict:
@@ -46,6 +49,7 @@ class AsrClient:
                 "wav_format": "pcm", "is_speaking": True,
                 "hotwords": json.dumps(self.hotwords, ensure_ascii=False),
                 "itn": self.use_itn,
+                "svs_lang": self.svs_lang, "svs_itn": self.svs_itn,
             }))
             stride = int(60 * self.chunk_size[1] / self.chunk_interval
                          / 1000 * self.audio_fs * 2)

@@ -152,3 +152,50 @@ def test_stats_protocol_extension(models):
     msg = asyncio.run(_with_server(models, run))
     assert "stats" in msg
     assert "uptime_s" in msg["stats"]
+
+
+def test_offline_mode_uses_sensevoice_when_loaded(models):
+    """mode=offline with a loaded SenseVoice model must route pass-2
+    through SenseVoice (OfflineStream's MODEL_SVS role) — previously only
+    2pass sessions honored svs_params."""
+    from asr2pass_tpu.config import sensevoice_tiny
+    from asr2pass_tpu.models import sensevoice
+    from asr2pass_tpu.runtime.sensevoice_asr import SenseVoiceOffline
+
+    scfg = sensevoice_tiny()
+    import dataclasses
+
+    m = dataclasses.replace(models) if dataclasses.is_dataclass(models) \
+        else models
+    m.svs_params = sensevoice.init(jax.random.PRNGKey(7), scfg)
+    m.svs_cfg = scfg
+    m.svs_vocab = make_test_vocab(scfg.vocab_size)
+    try:
+        rec = m.create_offline_recognizer(use_svs=True, svs_lang="en")
+        assert isinstance(rec.asr, SenseVoiceOffline)
+        rng = np.random.default_rng(3)
+        wave = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+        res = rec.transcribe(wave)
+        assert isinstance(res.text, str)
+    finally:
+        m.svs_params = None
+        m.svs_cfg = None
+        m.svs_vocab = None
+
+
+def test_offline_recognizer_lm_plumbs_through(models):
+    """--lm-dir must affect mode=offline connections too: the recognizer
+    gets an LmDecoder when lm+lexicon are loaded."""
+    from asr2pass_tpu.decode.lm_decoder import Lexicon
+    from asr2pass_tpu.decode.ngram import NgramLM
+
+    toks = [chr(0x4E00 + i) for i in range(4)]
+    lm = NgramLM.train([toks, toks[::-1]], order=2)
+    models.lm = lm
+    models.lexicon = Lexicon.from_words(toks)
+    try:
+        rec = models.create_offline_recognizer()
+        assert rec.asr.lm_decoder is not None
+    finally:
+        models.lm = None
+        models.lexicon = None
