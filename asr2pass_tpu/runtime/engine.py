@@ -66,8 +66,10 @@ class StreamEngine:
         self.online_state = paraformer_online.init_state(
             self.oparams, ocfg, capacity)
         self.vad_caches = fsmn_vad.init_caches(models.vad_cfg, capacity)
-        self.offline = models.create_offline_recognizer() if mode != "online" \
-            else None
+        self.offline = None
+        if mode != "online":
+            self.offline = models.create_offline_recognizer(
+                use_svs=models.svs_params is not None)
         self.punc = models._punctuator()
         self.slots: List[_Slot] = [_Slot() for _ in range(capacity)]
         self.chunk_len = (ocfg.chunk_size[1] * ocfg.frontend.frame_shift

@@ -18,7 +18,7 @@ from asr2pass_tpu.decode.context_graph import ContextGraph
 from asr2pass_tpu.decode.ctc import ctc_greedy, ctc_prefix_beam_search
 from asr2pass_tpu.models import sensevoice
 from asr2pass_tpu.models.sensevoice import NUM_META
-from asr2pass_tpu.runtime.streaming_frontend import offline_frontend
+from asr2pass_tpu.runtime.streaming_frontend import offline_frontend_batch
 from asr2pass_tpu.text.vocab import Vocab
 
 _BUCKETS = [64, 128, 256, 512, 1024]
@@ -70,8 +70,8 @@ class SenseVoiceOffline:
     def recognize_batch(self, segments: List[np.ndarray], hw_emb=None
                         ) -> List[Tuple[str, list]]:
         means, vars_ = self.cmvn
-        feats = [offline_frontend(s, self.cfg.frontend, means, vars_)
-                 for s in segments]
+        feats = offline_frontend_batch(segments, self.cfg.frontend,
+                                       means, vars_)
         results: List[Optional[Tuple[str, list]]] = [None] * len(feats)
         groups = {}
         for i, f in enumerate(feats):
@@ -79,14 +79,22 @@ class SenseVoiceOffline:
                 results[i] = ("", [])
                 continue
             groups.setdefault(_bucket(f.shape[0]), []).append(i)
-        for bucket, idxs in groups.items():
-            batch = np.zeros((len(idxs), bucket, self.cfg.frontend.lfr_dim),
+        # batch dim rides power-of-2 buckets capped at 16 like the
+        # Paraformer path (bounded XLA programs; offline_asr._MAX_BATCH)
+        chunks = [(bucket, idxs[j: j + 16])
+                  for bucket, idxs in groups.items()
+                  for j in range(0, len(idxs), 16)]
+        for bucket, idxs in chunks:
+            bb = 1
+            while bb < len(idxs):
+                bb *= 2
+            batch = np.zeros((bb, bucket, self.cfg.frontend.lfr_dim),
                              np.float32)
-            lens = []
+            lens = [0] * bb
             for k, i in enumerate(idxs):
                 batch[k, : feats[i].shape[0]] = feats[i]
-                lens.append(feats[i].shape[0])
-            lid, tn = self._meta_ids(len(idxs))
+                lens[k] = feats[i].shape[0]
+            lid, tn = self._meta_ids(bb)
             out = sensevoice.apply_jit(
                 self.params, self.cfg, jnp.asarray(batch),
                 jnp.asarray(lens, jnp.int32), jnp.asarray(lid),

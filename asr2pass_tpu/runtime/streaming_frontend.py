@@ -133,7 +133,7 @@ class StreamingFrontend:
 _BATCH_POW = [1, 2, 4, 8, 16, 32, 64, 128]
 
 
-def batched_fbank(bufs, ns, cfg: FrontendConfig):
+def batched_fbank(bufs, ns, cfg: FrontendConfig, coarse: bool = False):
     """One jitted device fbank for many staged streams.
 
     bufs: list of float32 waveform buffers (StreamingFrontend.stage
@@ -141,14 +141,23 @@ def batched_fbank(bufs, ns, cfg: FrontendConfig):
     [n_i, n_mels]. Batch and frame axes ride shape buckets so jit sees a
     handful of programs. This is the engine's replacement for per-slot
     fbank dispatches — on a remote-execution backend every dispatch is a
-    network round-trip, so S streams/tick must cost ONE, not S."""
+    network round-trip, so S streams/tick must cost ONE, not S.
+
+    coarse=True switches the frame axis to power-of-2 buckets (min 128) —
+    for offline VAD segments whose lengths span 1-60 s, 25-frame buckets
+    would compile ~40 programs; powers of 2 compile ~7."""
     k = len(bufs)
     if k == 0:
         return []
     max_n = max(ns)
     if max_n == 0:
         return [np.zeros((0, cfg.n_mels), np.float32)] * k
-    bucket = -(-max_n // _BUCKET) * _BUCKET
+    if coarse:
+        bucket = 128
+        while bucket < max_n:
+            bucket *= 2
+    else:
+        bucket = -(-max_n // _BUCKET) * _BUCKET
     need = cfg.frame_length + (bucket - 1) * cfg.frame_shift
     kb = next((b for b in _BATCH_POW if b >= k), k)
     waves = np.zeros((kb, need), np.float32)
@@ -178,10 +187,12 @@ def offline_frontend(samples, cfg: FrontendConfig, means=None, vars_=None):
 
 def offline_frontend_batch(segments, cfg: FrontendConfig,
                            means=None, vars_=None):
-    """offline_frontend over many segments with ONE device fbank call
-    (bucketed batch + frame axes) — per-segment dispatches are a network
-    round-trip each on a remote-execution backend. LFR/CMVN stay on host
-    (O(T) numpy)."""
+    """offline_frontend over many segments with a handful of device fbank
+    calls — per-segment dispatches are a network round-trip each on a
+    remote-execution backend. Segments are length-sorted and chunked (16
+    per call, like the model-batch cap) so one long outlier can't pad the
+    whole batch to 60 s, and the frame axis rides coarse power-of-2
+    buckets (bounded XLA programs). LFR/CMVN stay on host (O(T) numpy)."""
     from asr2pass_tpu.frontend.lfr import apply_cmvn, apply_lfr
 
     if means is None:
@@ -190,7 +201,14 @@ def offline_frontend_batch(segments, cfg: FrontendConfig,
         vars_ = np.ones(cfg.lfr_dim, np.float32)
     bufs = [np.asarray(s, np.float32) for s in segments]
     ns = [num_frames(len(b), cfg) for b in bufs]
-    mels = batched_fbank(bufs, ns, cfg)
+    order = sorted(range(len(bufs)), key=lambda i: ns[i])
+    mels: list = [None] * len(bufs)
+    for j in range(0, len(order), 16):
+        idxs = order[j: j + 16]
+        got = batched_fbank([bufs[i] for i in idxs],
+                            [ns[i] for i in idxs], cfg, coarse=True)
+        for i, mel in zip(idxs, got):
+            mels[i] = mel
     out = []
     for mel in mels:
         if mel.shape[0] == 0:

@@ -167,8 +167,11 @@ class ChineseITN:
             (re.compile(f"负({num}(?:点{num})?)"),
              lambda m: f"-{self._decimal(m.group(1))}"),
             # measure with a 万/亿 number: greedy so 两万五千米 = 25000米
-            # (the 千 belongs to the number, not the unit)
-            (re.compile(f"([{_NUM_CHARS}]*[万亿][{_NUM_CHARS}]*"
+            # (the 千 belongs to the number) — but the tail after 万/亿
+            # must contain a digit char, so 一万千米 stays 10000 千米
+            # (bare 千 is the unit's, not a numeral)
+            (re.compile(f"([{_NUM_CHARS}]*[万亿]"
+                        f"(?:[{_NUM_CHARS}]*[{dig}][{_NUM_CHARS}]*)?"
                         f"(?:点[{_NUM_CHARS}]+)?)({unit})"),
              lambda m: f"{self._decimal(m.group(1))}{m.group(2)}"),
             # measure: number + unit (ITN_ORDERS "measure" category,

@@ -290,8 +290,11 @@ class OnnxExecutor:
             t = node.op_type
             i = node.inputs
             a = node.attrs
-            if t in ("Identity", "Dropout", "Cast"):
+            if t in ("Identity", "Dropout"):
                 out = get(i[0])
+            elif t == "Cast":
+                to = _DTYPES.get(int(a.get("to", 1)), np.float32)
+                out = jnp.asarray(get(i[0])).astype(to)
             elif t == "Add":
                 out = jnp.add(get(i[0]), get(i[1]))
             elif t == "Mul":
@@ -449,5 +452,13 @@ class OnnxExecutor:
         else:
             out = lax.reduce_window(x, 0.0, lax.add, window,
                                     strides_full, padding)
-            out = out / float(np.prod(ks))
+            if any(p != (0, 0) for p in padding) and not a.get(
+                    "count_include_pad", 0):
+                # ONNX default excludes padding from the divisor
+                ones = jnp.ones_like(x)
+                counts = lax.reduce_window(ones, 0.0, lax.add, window,
+                                           strides_full, padding)
+                out = out / counts
+            else:
+                out = out / float(np.prod(ks))
         return out

@@ -33,6 +33,8 @@ def estimate_snr(wave: np.ndarray, fs: int = 16000,
 
 
 def clipping_ratio(wave: np.ndarray, thresh: float = 0.999) -> float:
+    if len(wave) == 0:
+        return 1.0  # empty input: treat as unusable
     return float(np.mean(np.abs(wave) >= thresh))
 
 
@@ -146,6 +148,12 @@ class DnsmosScorer:
 
             audio = linear_resample(audio, fs, _DNS_FS)
         need = int(_DNS_INPUT_S * _DNS_FS)
+        if len(audio) == 0:
+            # empty/corrupt input: score as unusable rather than looping
+            out = {"p808_mos": 0.0}
+            if self.primary is not None:
+                out.update(sig=0.0, bak=0.0, ovrl=0.0)
+            return out
         while len(audio) < need:
             audio = np.concatenate([audio, audio])
         num_hops = int(np.floor(len(audio) / _DNS_FS) - _DNS_INPUT_S) + 1

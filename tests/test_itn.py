@@ -120,3 +120,12 @@ def test_protected_words(itn):
 def test_digit_sequence_reading(itn):
     # 幺 = 1 digit-by-digit reading (phone numbers)
     assert itn.normalize("电话幺三五二四六八零") == "电话13524680"
+
+
+def test_wan_number_keeps_units_kilometer(itn):
+    # bare 千 after 万 belongs to the unit, not the number
+    assert itn.normalize("一万千米") == "10000千米"
+    assert itn.normalize("两万千克") == "20000千克"
+    assert itn.normalize("一万千瓦时") == "10000千瓦时"
+    # with a digit after 万 the 千 is the number's
+    assert itn.normalize("两万五千米") == "25000米"

@@ -119,3 +119,13 @@ def test_dnsmos_scorer_ranks_noise_below_clean():
                       ).astype(np.float32))
     assert clean["p808_mos"] > noisy["p808_mos"]
     assert clean["ovrl"] > noisy["ovrl"]
+
+
+@pytest.mark.skipif(not os.path.isdir(DNSMOS_DIR),
+                    reason="reference DNSMOS models not mounted")
+def test_dnsmos_empty_audio_terminates():
+    from asr2pass_tpu.tools.quality import DnsmosScorer
+
+    sc = DnsmosScorer(DNSMOS_DIR)
+    out = sc.score(np.zeros(0, np.float32))
+    assert out["p808_mos"] == 0.0
