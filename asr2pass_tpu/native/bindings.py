@@ -55,8 +55,34 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.a2p_lmdec_create.restype = ctypes.c_void_p
+    lib.a2p_lmdec_create.argtypes = [
+        ctypes.c_int32, i32p, i32p, i32p, ctypes.c_int32,
+        i32p, i32p, f32p, f32p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int32, ctypes.c_int32]
+    lib.a2p_lmdec_free.argtypes = [ctypes.c_void_p]
+    lib.a2p_lmdec_set_bias.argtypes = [ctypes.c_void_p, i32p, i32p, f32p,
+                                       ctypes.c_int32]
+    lib.a2p_lmdec_clear_bias.argtypes = [ctypes.c_void_p]
+    lib.a2p_lmdec_decode.restype = ctypes.c_int64
+    lib.a2p_lmdec_decode.argtypes = [
+        ctypes.c_void_p, f32p, ctypes.c_int64, ctypes.c_int32,
+        i32p, ctypes.c_int32, i32p, i32p]
     _lib = lib
     return _lib
+
+
+def _i32(a):
+    return np.ascontiguousarray(a, np.int32).ctypes.data_as(
+        ctypes.POINTER(ctypes.c_int32))
+
+
+def _f32(a):
+    return np.ascontiguousarray(a, np.float32).ctypes.data_as(
+        ctypes.POINTER(ctypes.c_float))
 
 
 def available() -> bool:
@@ -125,3 +151,139 @@ def edit_align(a: List[int], b: List[int]
         ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.byref(dist))
     return [int(o) for o in ops[:n]], int(dist.value)
+
+
+class NativeLmDecoder:
+    """C++ LM beam decoder (decode/lm_decoder.py contract): lexicon-trie x
+    backoff-ngram token passing with optional ContextGraph hotword bias.
+    Operates on unit IDS — construct with the AM vocab's token2id map.
+
+    Known deviation from the Python decoder: an OOV unit-concatenation
+    that happens to spell an in-LM word missing from the lexicon still
+    scores as OOV (the Python version looks the string up in lm.vocab)."""
+
+    SKIP_TOKENS = ("<s>", "</s>", "<blank>", "<unk>")
+
+    def __init__(self, lm, lexicon, token2id, lm_weight: float = 0.5,
+                 beam: int = 16, am_topk: int = 8,
+                 oov_penalty: float = -14.0,
+                 hotwords: Optional[dict] = None,
+                 context_score: float = 3.0):
+        from asr2pass_tpu.decode.context_graph import ContextGraph
+        from asr2pass_tpu.decode.ngram import BOS, UNK
+
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native lib unavailable")
+        self._lib = lib
+        # word vocabulary: LM words + lexicon words + specials
+        self._word2id = {}
+        self._id2word = []
+
+        def wid(w: str) -> int:
+            i = self._word2id.get(w)
+            if i is None:
+                i = len(self._id2word)
+                self._word2id[w] = i
+                self._id2word.append(w)
+            return i
+
+        unk_id = wid(UNK)
+        bos_id = wid(BOS)
+
+        # lexicon trie -> flat entries of unit-id paths
+        lex_units: List[int] = []
+        lex_lens: List[int] = []
+        lex_words: List[int] = []
+
+        def walk(node, path):
+            for key, sub in node.items():
+                if key == "\0":
+                    for word in sub:
+                        lex_units.extend(path)
+                        lex_lens.append(len(path))
+                        lex_words.append(wid(word))
+                else:
+                    uid = token2id.get(key)
+                    if uid is None:
+                        continue  # unit outside the AM vocab: unreachable
+                    walk(sub, path + [uid])
+
+        walk(lexicon.root, [])
+
+        # ngram table: union of logp and backoff keys
+        keys = set(lm.logp) | set(lm.backoff)
+        ng_words: List[int] = []
+        ng_lens: List[int] = []
+        ng_logp: List[float] = []
+        ng_bow: List[float] = []
+        nan = float("nan")
+        for ng in keys:
+            ng_words.extend(wid(w) for w in ng)
+            ng_lens.append(len(ng))
+            ng_logp.append(lm.logp.get(ng, nan))
+            ng_bow.append(lm.backoff.get(ng, nan))
+
+        self._handle = lib.a2p_lmdec_create(
+            lm.order, _i32(lex_units), _i32(lex_lens), _i32(lex_words),
+            len(lex_lens), _i32(ng_words), _i32(ng_lens), _f32(ng_logp),
+            _f32(ng_bow), len(ng_lens), unk_id, bos_id, lm_weight,
+            oov_penalty, beam, am_topk)
+        if not self._handle:
+            raise RuntimeError("a2p_lmdec_create failed (order too high?)")
+        if hotwords:
+            b_units: List[int] = []
+            b_lens: List[int] = []
+            b_scores: List[float] = []
+            for phrase, boost in hotwords.items():
+                toks = ContextGraph._default_split(phrase)
+                ids = [token2id.get(t) for t in toks]
+                if not ids or any(i is None for i in ids):
+                    continue
+                per = float(boost) if boost else context_score
+                b_units.extend(ids)
+                b_lens.append(len(ids))
+                b_scores.extend(per * len(t) for t in toks)
+            if b_lens:
+                lib.a2p_lmdec_set_bias(self._handle, _i32(b_units),
+                                       _i32(b_lens), _f32(b_scores),
+                                       len(b_lens))
+        self._skip_tokens = [token2id[t] for t in self.SKIP_TOKENS
+                             if t in token2id]
+
+    def start_utterance(self):
+        pass  # stateless across decode() calls
+
+    def decode(self, log_probs: np.ndarray, id_to_token) -> str:
+        rows = np.ascontiguousarray(log_probs, np.float32)
+        n, v = rows.shape
+        out_u = np.empty(n, np.int32)
+        out_w = np.empty(n, np.int32)
+        skips = np.asarray(self._skip_tokens, np.int32)
+        m = self._lib.a2p_lmdec_decode(
+            self._handle, _f32(rows), n, v, _i32(skips), len(skips),
+            out_u.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_w.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if m < 0:
+            return ""
+        parts: List[str] = []
+        pending: List[str] = []
+        for t in range(int(m)):
+            tok = id_to_token(int(out_u[t]))
+            w = int(out_w[t])
+            if w >= 0:
+                parts.append(self._id2word[w])
+                pending = []
+            elif w == -2:
+                pending.append(tok)
+                parts.append("".join(pending))
+                pending = []
+            else:
+                pending.append(tok)
+        if pending:  # dangling lexicon prefix flushes as raw units
+            parts.append("".join(pending))
+        return "".join(parts)
+
+    def __del__(self):
+        if getattr(self, "_handle", None) and self._lib:
+            self._lib.a2p_lmdec_free(self._handle)

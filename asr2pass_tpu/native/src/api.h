@@ -37,6 +37,43 @@ float a2p_ac_step(const A2pAcBias* ac, int32_t* state, int32_t symbol);
 /* Final retraction for a dangling partial match. */
 float a2p_ac_final(const A2pAcBias* ac, int32_t state);
 
+/* ---- LM beam decoder (L-trie x backoff n-gram token passing) ----
+ * Native port of decode/lm_decoder.py (the reference runs this search in
+ * a patched Kaldi LatticeFasterOnlineDecoder, wfst-decoder.cpp). Unit ids
+ * index the AM vocab; word ids index the LM vocab. */
+typedef struct A2pLmDec A2pLmDec;
+
+/* lexicon: n_lex entries of unit-id sequences (concatenated in lex_units,
+ * lengths in lex_lens) mapping to lex_word_ids[i].
+ * ngrams: n_ng entries of word-id sequences (concat ng_words, lengths
+ * ng_lens) with log10 prob ng_logp[i] and log10 backoff ng_bow[i].
+ * unk_id/bos_id are LM word ids. */
+A2pLmDec* a2p_lmdec_create(
+    int32_t order, const int32_t* lex_units, const int32_t* lex_lens,
+    const int32_t* lex_word_ids, int32_t n_lex, const int32_t* ng_words,
+    const int32_t* ng_lens, const float* ng_logp, const float* ng_bow,
+    int64_t n_ng, int32_t unk_id, int32_t bos_id, float lm_weight,
+    float oov_penalty, int32_t beam, int32_t am_topk);
+void a2p_lmdec_free(A2pLmDec* d);
+
+/* Optional hotword bias (ContextGraph role): per-phrase unit-id
+ * sequences; sym_scores is aligned with units (per-symbol incremental
+ * boost, already x char-count like context_graph.py build). */
+void a2p_lmdec_set_bias(A2pLmDec* d, const int32_t* units,
+                        const int32_t* lens, const float* sym_scores,
+                        int32_t n_phrases);
+void a2p_lmdec_clear_bias(A2pLmDec* d);
+
+/* Decode rows[n*v] of log-posteriors; skip_ids are unit ids never taken
+ * (<blank>/<s>/</s>/<unk>). Writes the best path: out_units[n] = unit
+ * chosen per row; out_words[n] = LM word id completed at that row, -1 if
+ * mid-word, -2 if an OOV word (its units) ended there. Returns number of
+ * rows consumed (== n) or -1 on error. */
+int64_t a2p_lmdec_decode(A2pLmDec* d, const float* rows, int64_t n,
+                         int32_t v, const int32_t* skip_ids,
+                         int32_t n_skip, int32_t* out_units,
+                         int32_t* out_words);
+
 /* ---- Levenshtein alignment ---- */
 /* a[n], b[m] are int32 symbol ids. ops_out must hold n+m entries.
  * Writes alignment ops: 0=match, 1=substitute, 2=delete(a only),

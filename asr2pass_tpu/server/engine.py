@@ -79,6 +79,18 @@ class ServerModels:
     def _make_lm_decoder(self, hotwords: Optional[dict] = None):
         if self.lm is None or self.lexicon is None:
             return None
+        # native C++ beam (14x the Python decoder on 60 s segments,
+        # parity-tested); Python fallback when the lib can't build
+        try:
+            from asr2pass_tpu.native.bindings import (NativeLmDecoder,
+                                                      available)
+
+            if available():
+                return NativeLmDecoder(
+                    self.lm, self.lexicon, self.vocab.token2id,
+                    lm_weight=self.lm_weight, hotwords=hotwords)
+        except Exception:
+            pass
         from asr2pass_tpu.decode.context_graph import ContextGraph
         from asr2pass_tpu.decode.lm_decoder import LmDecoder
 
