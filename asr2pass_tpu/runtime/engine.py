@@ -19,22 +19,77 @@ caches, detok state) is tiny O(text) work.
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Any, List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+from asr2pass_tpu.frontend.fbank import get_extractor
 from asr2pass_tpu.models import fsmn_vad, paraformer_online
 from asr2pass_tpu.runtime.audio_splitter import TwoPassSplitter
 from asr2pass_tpu.runtime.streaming_frontend import (StreamingFrontend,
                                                      batched_fbank)
-from asr2pass_tpu.runtime.vad_stream import _nn_step
 from asr2pass_tpu.text import timestamps as ts_mod
 from asr2pass_tpu.text.vocab import Vocab
 from asr2pass_tpu.vad.e2e_vad import E2EVadStateMachine, VadOptions
 
 _VAD_BUCKET = 72   # VAD feature rows per tick (64 frames staged + LFR/residual carry)
+
+
+@functools.lru_cache(maxsize=4)
+def _fused_vad_step(fcfg, capacity: int):
+    """One jitted program: batched fbank -> LFR window gather -> CMVN ->
+    FSMN-VAD NN, with the lfr_m-1 mel frames of cross-tick context held in
+    a device-resident history ring.
+
+    This fuses what used to be two device dispatches per engine tick
+    (batched_fbank + _nn_step) plus a [cap, T, 80] mel device->host
+    transfer into ONE dispatch whose only fetched output is the posterior
+    tensor — on a remote-execution backend every dispatch/transfer is a
+    ~20-40 ms network round-trip, and the engine tick is dispatch-bound
+    (CLAUDE.md serving-path rule). Window accounting (totals/next-window)
+    stays on host as O(1) counters; StreamingFrontend parity is asserted
+    by tests/test_engine.py's fused-vs-reference front-end test.
+    """
+    ex = get_extractor(fcfg)
+    nf = _VAD_BUCKET
+    need = fcfg.frame_length + (nf - 1) * fcfg.frame_shift
+    left = (fcfg.lfr_m - 1) // 2
+    hist_len = fcfg.lfr_m - 1
+    frame_idx = (np.arange(nf)[:, None] * fcfg.frame_shift
+                 + np.arange(fcfg.frame_length)[None, :])
+
+    @jax.jit
+    def step(params, means, vars_, waves, n_new, win_start, total_new,
+             k_emit, finals, hist, caches):
+        frames = waves[:, frame_idx]                        # [C, nf, flen]
+        mel_new = ex.frames_to_mel(
+            (frames * fcfg.scale_input).reshape(capacity * nf, -1)
+        ).reshape(capacity, nf, -1)
+        combined = jnp.concatenate([hist, mel_new], axis=1)  # [C, H+nf, M]
+        base = total_new - n_new                             # old mel total
+        # LFR windows win_start..win_start+nf, taps clamped to valid mel
+        # rows (offline tail padding clamps the same way: streaming_frontend
+        # _emit_windows)
+        gw = win_start[:, None] + jnp.arange(nf)[None, :]
+        g = gw[:, :, None] * fcfg.lfr_n + jnp.arange(fcfg.lfr_m) - left
+        g = jnp.clip(g, 0, jnp.maximum(total_new - 1, 0)[:, None, None])
+        local = g - (base - hist_len)[:, None, None]
+        local = jnp.clip(local, 0, hist_len + nf - 1)
+        feats = jnp.take_along_axis(
+            combined, local.reshape(capacity, -1)[:, :, None], axis=1
+        ).reshape(capacity, nf, fcfg.lfr_m * fcfg.n_mels)
+        feats = (feats + means) * vars_
+        probs, new_caches = fsmn_vad.apply(params, feats, caches, k_emit)
+        hidx = n_new[:, None] + jnp.arange(hist_len)[None, :]
+        new_hist = jnp.take_along_axis(combined, hidx[:, :, None], axis=1)
+        new_hist = jnp.where(finals[:, None, None], 0.0, new_hist)
+        return probs, new_hist, new_caches
+
+    return step, need
 
 
 @dataclass
@@ -76,18 +131,32 @@ class StreamEngine:
                           * ocfg.frontend.lfr_n)
         self.center = ocfg.chunk_size[1]
         self.lfr_dim = ocfg.frontend.lfr_dim
+        # fused VAD front-end+NN (one dispatch per tick); host-side window
+        # counters + device-resident mel history ring
+        fcfg = models.vad_cfg.frontend
+        assert fcfg.lfr_n == 1, "fused VAD path assumes LFR(m,1)"
+        self._vad_step, self._vad_need = _fused_vad_step(fcfg, capacity)
+        vmeans, vvars = (models.vad_cmvn if models.vad_cmvn is not None
+                         else (np.zeros(fcfg.lfr_dim, np.float32),
+                               np.ones(fcfg.lfr_dim, np.float32)))
+        self._vad_means = jnp.asarray(vmeans, jnp.float32)
+        self._vad_vars = jnp.asarray(vvars, jnp.float32)
+        self._vad_hist = jnp.zeros(
+            (capacity, fcfg.lfr_m - 1, fcfg.n_mels), jnp.float32)
+        self._vad_total = np.zeros(capacity, np.int64)
+        self._vad_next = np.zeros(capacity, np.int64)
 
     def warmup(self):
         """Compile the batched VAD + ASR steps before serving traffic
         (first-compile is minutes on remote-compile TPU backends)."""
         m = self.models
-        import jax.numpy as jnp
-
-        vdim = m.vad_cfg.input_dim
-        _nn_step(m.vad_params,
-                 jnp.zeros((self.capacity, _VAD_BUCKET, vdim), jnp.float32),
-                 self.vad_caches,
-                 jnp.zeros((self.capacity,), jnp.int32))
+        zi = jnp.zeros((self.capacity,), jnp.int32)
+        self._vad_step(m.vad_params, self._vad_means, self._vad_vars,
+                       jnp.zeros((self.capacity, self._vad_need),
+                                 jnp.float32),
+                       zi, zi, zi, zi,
+                       jnp.zeros((self.capacity,), bool),
+                       self._vad_hist, self.vad_caches)
         paraformer_online.step_jit(
             self.oparams, self.ocfg, self.online_state,
             jnp.zeros((self.capacity, self.center, self.lfr_dim),
@@ -136,6 +205,9 @@ class StreamEngine:
             dec_caches=s.dec_caches.at[:, sid].set(z1.dec_caches[:, 0]),
         )
         self.vad_caches = [c.at[sid].set(0.0) for c in self.vad_caches]
+        self._vad_hist = self._vad_hist.at[sid].set(0.0)
+        self._vad_total[sid] = 0
+        self._vad_next[sid] = 0
 
     def close(self, sid: int):
         self.slots[sid].active = False
@@ -157,12 +229,10 @@ class StreamEngine:
 
     def _vad_and_split(self):
         m = self.models
-        vdim = m.vad_cfg.input_dim
-        batch_feats = np.zeros((self.capacity, _VAD_BUCKET, vdim), np.float32)
-        valid = np.zeros(self.capacity, np.int32)
-        # stage every slot's VAD front-end, run ONE batched device fbank —
-        # per-slot dispatches are a network round-trip each on a remote-
-        # execution backend and would dominate the tick
+        # stage every slot's VAD front-end, run ONE fused device step
+        # (fbank+LFR+CMVN+NN) — per-slot dispatches are a network
+        # round-trip each on a remote-execution backend and would dominate
+        # the tick
         staged = []  # (sid, samples, is_final, buf, n_frames)
         # consume at most one VAD bucket of audio per slot per step —
         # a burst-feeding client (whole file then is_speaking:false) must
@@ -190,19 +260,43 @@ class StreamEngine:
             staged.append((sid, samples, is_final, buf, nf))
         if not staged:
             return
-        mels = batched_fbank([s[3] for s in staged], [s[4] for s in staged],
-                             m.vad_cfg.frontend)
+        fcfg = m.vad_cfg.frontend
+        lfr_m, lfr_n = fcfg.lfr_m, fcfg.lfr_n
+        left = (lfr_m - 1) // 2
+        waves = np.zeros((self.capacity, self._vad_need), np.float32)
+        n_new = np.zeros(self.capacity, np.int32)
+        win_start = self._vad_next.astype(np.int32)
+        total_new = self._vad_total.astype(np.int32)
+        k_emit = np.zeros(self.capacity, np.int32)
+        finals = np.zeros(self.capacity, bool)
         work = []  # (sid, samples, is_final, n_vad_rows)
-        for (sid, samples, is_final, _, _), mel in zip(staged, mels):
-            slot = self.slots[sid]
-            feats = slot.vad_frontend.commit(mel, is_final)
-            n = min(feats.shape[0], _VAD_BUCKET)
-            batch_feats[sid, :n] = feats[:n]
-            valid[sid] = n
-            work.append((sid, samples, is_final, n))
-        probs, self.vad_caches = _nn_step(
-            m.vad_params, jnp.asarray(batch_feats), self.vad_caches,
-            jnp.asarray(valid))
+        for sid, samples, is_final, buf, nf in staged:
+            waves[sid, : min(len(buf), self._vad_need)] = \
+                buf[: self._vad_need]
+            n_new[sid] = nf
+            total = int(self._vad_total[sid]) + nf
+            total_new[sid] = total
+            if is_final:
+                upto = -(-total // lfr_n)
+            else:
+                upto = max((total - 1 - (lfr_m - 1) + left) // lfr_n + 1, 0)
+            upto = max(upto, int(self._vad_next[sid]))
+            k_emit[sid] = upto - self._vad_next[sid]
+            if is_final:
+                self._vad_total[sid] = 0
+                self._vad_next[sid] = 0
+                slot = self.slots[sid]
+                slot.vad_frontend.reset()   # drop sub-frame residual
+                finals[sid] = True
+            else:
+                self._vad_total[sid] = total
+                self._vad_next[sid] = upto
+            work.append((sid, samples, is_final, int(k_emit[sid])))
+        probs, self._vad_hist, self.vad_caches = self._vad_step(
+            m.vad_params, self._vad_means, self._vad_vars,
+            jnp.asarray(waves), jnp.asarray(n_new), jnp.asarray(win_start),
+            jnp.asarray(total_new), jnp.asarray(k_emit),
+            jnp.asarray(finals), self._vad_hist, self.vad_caches)
         probs = np.asarray(probs)
         # VAD decisions + 2pass split per slot (host, O(frames)); collect
         # the online frames into per-slot groups split at final flags so
@@ -289,8 +383,7 @@ class StreamEngine:
             self.online_state, ids, nums = paraformer_online.step_jit(
                 self.oparams, self.ocfg, self.online_state,
                 jnp.asarray(feats), jnp.asarray(counts), jnp.asarray(finals))
-            ids = np.asarray(ids)
-            nums = np.asarray(nums)
+            ids, nums = jax.device_get((ids, nums))  # one fetch, not two
             for sid in todo:
                 slot = self.slots[sid]
                 k = int(nums[sid])

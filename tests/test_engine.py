@@ -140,3 +140,81 @@ def test_engine_burst_feed_no_overflow(models):
         return "".join(r["text"] for r in res if r["mode"] == "2pass-offline")
 
     assert final_text(out) == final_text(ref)
+
+
+def test_fused_vad_step_matches_reference_frontend(models):
+    """The engine's fused fbank+LFR+CMVN+NN device step must emit exactly
+    the posteriors of the reference path (StreamingFrontend.accept ->
+    fsmn_vad.apply), across chunk boundaries, history-ring carries and the
+    final-tail clamp."""
+    import jax.numpy as jnp
+
+    from asr2pass_tpu.models import fsmn_vad
+    from asr2pass_tpu.runtime.engine import _fused_vad_step
+    from asr2pass_tpu.runtime.streaming_frontend import StreamingFrontend
+
+    cfg = models.vad_cfg
+    fcfg = cfg.frontend
+    capacity = 2
+    step, need = _fused_vad_step(fcfg, capacity)
+    params = models.vad_params
+    means = jnp.zeros(fcfg.lfr_dim, jnp.float32)
+    vars_ = jnp.ones(fcfg.lfr_dim, jnp.float32)
+
+    rng = np.random.default_rng(7)
+    wave = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+
+    # reference path (one stream)
+    ref_fe = StreamingFrontend(fcfg)
+    ref_caches = fsmn_vad.init_caches(cfg, 1)
+    ref_probs = []
+    # fused path state (slot 0 active, slot 1 idle)
+    fe = StreamingFrontend(fcfg)  # stage() only
+    hist = jnp.zeros((capacity, fcfg.lfr_m - 1, fcfg.n_mels), jnp.float32)
+    caches = fsmn_vad.init_caches(cfg, capacity)
+    total = nxt = 0
+    fused_probs = []
+
+    left = (fcfg.lfr_m - 1) // 2
+    chunks = [3200, 5000, 160, 7040, 9000, len(wave) - 24400]
+    off = 0
+    for i, n in enumerate(chunks):
+        piece, off = wave[off: off + n], off + n
+        is_final = i == len(chunks) - 1
+        feats = ref_fe.accept(piece, is_final)
+        if feats.shape[0]:
+            t = feats.shape[0]
+            pad = np.zeros((1, 72, feats.shape[1]), np.float32)
+            pad[0, :t] = feats
+            p, ref_caches = fsmn_vad.apply(
+                params, jnp.asarray(pad), ref_caches, jnp.asarray([t]))
+            ref_probs.append(np.asarray(p[0, :t]))
+
+        buf, nf = fe.stage(piece)
+        waves = np.zeros((capacity, need), np.float32)
+        waves[0, :len(buf)] = buf
+        tot = total + nf
+        if is_final:
+            upto = -(-tot // fcfg.lfr_n)
+            fe.reset()
+        else:
+            upto = max((tot - 1 - (fcfg.lfr_m - 1) + left)
+                       // fcfg.lfr_n + 1, 0)
+        upto = max(upto, nxt)
+        k = upto - nxt
+        probs, hist, caches = step(
+            params, means, vars_, jnp.asarray(waves),
+            jnp.asarray([nf, 0], np.int32),
+            jnp.asarray([nxt, 0], np.int32),
+            jnp.asarray([tot, 0], np.int32),
+            jnp.asarray([k, 0], np.int32),
+            jnp.asarray([is_final, False]),
+            hist, caches)
+        if k:
+            fused_probs.append(np.asarray(probs[0, :k]))
+        total, nxt = (0, 0) if is_final else (tot, upto)
+
+    ref = np.concatenate(ref_probs)
+    fused = np.concatenate(fused_probs)
+    assert ref.shape == fused.shape
+    np.testing.assert_allclose(fused, ref, atol=2e-5)
