@@ -40,7 +40,7 @@ _VAD_BUCKET = 72   # VAD feature rows per tick (64 frames staged + LFR/residual 
 
 
 @functools.lru_cache(maxsize=4)
-def _fused_vad_step(fcfg, capacity: int):
+def _fused_vad_step(fcfg, capacity: int, sil_pdf_ids=(0,)):
     """One jitted program: batched fbank -> LFR window gather -> CMVN ->
     FSMN-VAD NN, with the lfr_m-1 mel frames of cross-tick context held in
     a device-resident history ring.
@@ -84,10 +84,15 @@ def _fused_vad_step(fcfg, capacity: int):
         ).reshape(capacity, nf, fcfg.lfr_m * fcfg.n_mels)
         feats = (feats + means) * vars_
         probs, new_caches = fsmn_vad.apply(params, feats, caches, k_emit)
+        # the decision automaton only consumes the summed silence-pdf
+        # posterior per frame (e2e_vad._get_frame_state) — fetch [C, nf]
+        # scalars, not [C, nf, 248] (a ~250x smaller device->host transfer;
+        # the full tensor was ~9 MB/tick at 128 slots on the tunnel)
+        sil = probs[:, :, jnp.asarray(sil_pdf_ids)].sum(-1)
         hidx = n_new[:, None] + jnp.arange(hist_len)[None, :]
         new_hist = jnp.take_along_axis(combined, hidx[:, :, None], axis=1)
         new_hist = jnp.where(finals[:, None, None], 0.0, new_hist)
-        return probs, new_hist, new_caches
+        return sil, new_hist, new_caches
 
     return step, need
 
@@ -135,7 +140,8 @@ class StreamEngine:
         # counters + device-resident mel history ring
         fcfg = models.vad_cfg.frontend
         assert fcfg.lfr_n == 1, "fused VAD path assumes LFR(m,1)"
-        self._vad_step, self._vad_need = _fused_vad_step(fcfg, capacity)
+        self._vad_step, self._vad_need = _fused_vad_step(
+            fcfg, capacity, tuple(models.vad_cfg.sil_pdf_ids))
         vmeans, vvars = (models.vad_cmvn if models.vad_cmvn is not None
                          else (np.zeros(fcfg.lfr_dim, np.float32),
                                np.ones(fcfg.lfr_dim, np.float32)))
@@ -304,8 +310,11 @@ class StreamEngine:
         groups = {}  # sid -> [(data, is_final), ...]
         for sid, samples, is_final, n in work:
             slot = self.slots[sid]
+            # probs here is the device-summed sil posterior [nf]; the slot
+            # automaton was built with default sil_pdf_ids=(0,), so a
+            # [n, 1] column is the exact equivalent of the full pdf row
             events = slot.sm(
-                probs[sid, :n], samples, is_final=is_final, online=True,
+                probs[sid, :n, None], samples, is_final=is_final, online=True,
                 max_end_sil=m.vad_cfg.max_end_silence_time,
                 max_single_segment_time=m.vad_cfg.max_single_segment_time,
                 speech_noise_thres=m.vad_cfg.speech_noise_thres,

@@ -214,7 +214,8 @@ def test_fused_vad_step_matches_reference_frontend(models):
             fused_probs.append(np.asarray(probs[0, :k]))
         total, nxt = (0, 0) if is_final else (tot, upto)
 
-    ref = np.concatenate(ref_probs)
+    # the fused step returns the device-summed silence posterior per frame
+    ref = np.concatenate(ref_probs)[:, 0]
     fused = np.concatenate(fused_probs)
     assert ref.shape == fused.shape
     np.testing.assert_allclose(fused, ref, atol=2e-5)
