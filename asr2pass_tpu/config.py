@@ -75,13 +75,20 @@ class EncoderConfig:
 
 @dataclass(frozen=True)
 class DecoderConfig:
-    """Paraformer parallel decoder: FSMN self-blocks + cross-attn."""
+    """Paraformer parallel decoder: FSMN self-blocks + cross-attn.
+
+    sanm_shift: None (default) = fully-causal FSMN (left = kernel-1) in the
+    offline path, matching the streaming cache semantics — the in-repo
+    convention so one trained model serves both paths. Converted FunASR
+    offline checkpoints set it from config.yaml (`sanm_shfit`, typically 0
+    -> centered window), matching the graph the reference runs as ONNX.
+    """
 
     num_blocks: int = 16
     attention_heads: int = 4
     linear_units: int = 2048
     kernel_size: int = 11           # fsmn_lorder = kernel_size - 1
-    sanm_shift: int = 0
+    sanm_shift: Optional[int] = None
     dropout_rate: float = 0.1
 
     @property
@@ -98,9 +105,15 @@ class PredictorConfig:
     r_order: int = 1
     threshold: float = 1.0
     tail_threshold: float = 0.45
+    # post-sigmoid shaping: alphas = relu(sigmoid(.)*smooth - noise)
+    # (FunASR CifPredictorV2/V3 smooth_factor / noise_threshold)
+    smooth_factor: float = 1.0
+    noise_threshold: float = 0.0
     # bicif timestamp predictor (3x upsampled alphas) — only timestamp models
     upsample_times: int = 3
     use_timestamp: bool = False
+    smooth_factor2: float = 0.25
+    noise_threshold2: float = 0.01
 
 
 @dataclass(frozen=True)
@@ -260,7 +273,14 @@ def load_paraformer_yaml(path: str) -> ParaformerConfig:
         cfg.get("encoder_conf", {}),
         input_size=frontend.n_mels * frontend.lfr_m,
     )
-    dec = _merge(DecoderConfig, cfg.get("decoder_conf", {}))
+    dec_node = dict(cfg.get("decoder_conf") or {})
+    # FunASR configs spell the key `sanm_shfit` (sic); honor both spellings
+    if "sanm_shfit" in dec_node:
+        dec_node["sanm_shift"] = dec_node.pop("sanm_shfit")
+    # key present (FunASR dirs always write it) -> FunASR window semantics;
+    # absent (our own bundles may omit it) -> in-repo causal convention
+    dec = _merge(DecoderConfig, dec_node,
+                 sanm_shift=dec_node.get("sanm_shift"))
     pred = _merge(
         PredictorConfig, cfg.get("predictor_conf", {}), idim=enc.output_size
     )

@@ -5,11 +5,14 @@ Structure-equivalent to the FSMN the reference drives through ONNX
 sil/speech pdf posteriors out, with four [1,128,19,1] streaming caches —
 one per FSMN block, 19 = lorder-1 frames of left context).
 
-Layout here: in-affine 400->140->250 with ReLU, then `fsmn_layers` blocks of
-(Linear 250->128 no-bias, depthwise causal memory conv with lorder left
-taps, affine 128->250, ReLU), out-affine 250->140->248, softmax. Caches are
-leading-axis batched [B, cache_frames, proj_dim] arrays so hundreds of
-concurrent streams advance in one jitted step (SURVEY.md §2.5 stream-DP).
+Layout (FunASR FSMN semantics exactly, so converted checkpoints are
+numerically faithful): in-affine 400->140->250 (two stacked linears, ONE
+ReLU after the second), then `fsmn_layers` sequential blocks of (Linear
+250->128 no-bias, depthwise causal memory conv with lorder taps and inner
+residual, affine 128->250, ReLU) — no outer residual — then out-affine
+250->140->248 (no activation between), softmax. Caches are leading-axis
+batched [B, cache_frames, proj_dim] arrays so hundreds of concurrent
+streams advance in one jitted step (SURVEY.md §2.5 stream-DP).
 """
 from __future__ import annotations
 
@@ -61,8 +64,7 @@ def apply(params, feats, caches, valid_len=None
     With valid_len [B], caches advance by exactly valid_len frames so
     padded chunk steps keep streaming == offline.
     """
-    x = jax.nn.relu(dense(params["in2"],
-                          jax.nn.relu(dense(params["in1"], feats))))
+    x = jax.nn.relu(dense(params["in2"], dense(params["in1"], feats)))
     new_caches = []
     t = feats.shape[1]
     for block, cache in zip(params["blocks"], caches):
@@ -79,7 +81,7 @@ def apply(params, feats, caches, valid_len=None
         else:
             idx = valid_len[:, None] + jnp.arange(c)[None, :]
             new_caches.append(jnp.take_along_axis(ext, idx[..., None], axis=1))
-        x = x + jax.nn.relu(dense(block["affine"], mem))
-    x = jax.nn.relu(dense(params["out1"], x))
-    logits = dense(params["out2"], x)
+        x = jax.nn.relu(dense(block["affine"], mem))      # sequential, no
+        # outer residual (FunASR _build_repeats is a plain nn.Sequential)
+    logits = dense(params["out2"], dense(params["out1"], x))
     return jax.nn.softmax(logits, axis=-1), new_caches

@@ -70,7 +70,9 @@ def layer_norm_init(d: int):
     return {"g": jnp.ones((d,), jnp.float32), "b": jnp.zeros((d,), jnp.float32)}
 
 
-def layer_norm(p, x, eps: float = 1e-12):
+def layer_norm(p, x, eps: float = 1e-5):
+    # eps matches torch nn.LayerNorm (the FunASR models' default), so
+    # converted checkpoints are numerically faithful
     # statistics in fp32 even when activations are bf16
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)

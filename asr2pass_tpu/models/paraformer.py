@@ -57,7 +57,7 @@ def apply(params, cfg: ParaformerConfig, feats, lengths,
     alphas = cif.alphas_head(params["predictor"], enc, cfg.predictor, mask)
     ac_embeds, token_num, _ = cif.fire_offline(
         enc, alphas, cfg.predictor.threshold, cfg.predictor.tail_threshold,
-        max_tokens=max_tokens,
+        max_tokens=max_tokens, lengths=lengths,
     )
     tok_mask = length_mask(token_num, ac_embeds.shape[1])
     logits = sanm_decoder.apply(
@@ -67,9 +67,10 @@ def apply(params, cfg: ParaformerConfig, feats, lengths,
     us_alphas = us_peak = None
     if cfg.predictor.use_timestamp:
         us_alphas = cif.upsampled_alphas(params["predictor"], enc,
-                                         cfg.predictor, mask)
+                                         cfg.predictor, mask,
+                                         token_num=token_num)
         us_peak = cif.peaks_from_alphas(us_alphas,
-                                        cfg.predictor.threshold)
+                                        cfg.predictor.threshold - 1e-4)
     return ParaformerOutput(logits=logits, token_num=token_num, enc=enc,
                             alphas=alphas, us_alphas=us_alphas,
                             us_cif_peak=us_peak)

@@ -1,10 +1,22 @@
-"""Paraformer parallel decoder: causal FSMN self-blocks + cross-attention.
+"""Paraformer parallel decoder: FunASR-faithful SAN-M decoder blocks.
 
 Non-autoregressive: the CIF acoustic embeddings [B, U, D] are refined by N
-blocks of (causal FSMN memory, cross-attention over encoder output, FFN) and
-projected to vocab logits — all U positions decoded in one parallel pass
-(this is what makes Paraformer fast on the MXU: one big batched matmul chain
-instead of a token-by-token loop).
+blocks and projected to vocab logits — all U positions decoded in one
+parallel pass (this is what makes Paraformer fast on the MXU: one big
+batched matmul chain instead of a token-by-token loop).
+
+Block math matches FunASR's DecoderLayerSANM exactly (the graph the
+reference runs as ONNX, driven at onnxruntime/src/paraformer.cpp:463-589 and
+paraformer-online.cpp:500-511), so weights converted with
+tools/convert_funasr.py are numerically equivalent:
+
+    h = ffn(norm1(x))                 # feed-forward FIRST
+    m = fsmn(norm2(h))                # depthwise memory conv, inner residual
+    x = x + m                         # single residual from the block input
+    x = x + cross_attn(norm3(x), enc)
+
+followed by the `decoders3` tail block (norm1 -> ffn, NO residual) and
+after_norm -> output projection.
 
 TPU-native layout: the N uniform blocks are one stacked pytree driven by
 ``lax.scan`` (flat compile time in depth; explicit leading layer axis for
@@ -12,6 +24,13 @@ sharding). Streaming FSMN caches are one [L, B, lorder, D] array scanned
 alongside the params — the TPU-native equivalent of the per-layer ONNX
 cache tensors (paraformer-online.cpp:347-384,500-511) with the batch on
 axis 1.
+
+FSMN context: offline FunASR checkpoints use a centered window
+(sanm_shift=0 -> left=right=(k-1)//2); the streaming decoder export is
+causal (cache of kernel-1 past frames). In-repo models default to fully
+causal in BOTH paths (DecoderConfig.sanm_shift=None) so one parameter set
+serves offline and streaming identically; converted FunASR offline models
+set sanm_shift from config.yaml.
 
 An optional hotword-bias block (cross-attention over compiled hotword
 embeddings) sits before the output head — role of the contextual/hotword
@@ -45,21 +64,26 @@ from asr2pass_tpu.models.layers import (
 
 def init(key, cfg: DecoderConfig, d_model: int, vocab_size: int,
          use_hotword: bool = False):
-    keys = jax.random.split(key, cfg.num_blocks + 3)
+    keys = jax.random.split(key, cfg.num_blocks + 4)
     layers = []
     for i in range(cfg.num_blocks):
         k1, k2, k3 = jax.random.split(keys[i], 3)
         layers.append({
             "ln1": layer_norm_init(d_model),
-            "fsmn": fsmn_init(k1, d_model, cfg.kernel_size),
+            "ffn": ffn_init(k3, d_model, cfg.linear_units),
             "ln2": layer_norm_init(d_model),
+            "fsmn": fsmn_init(k1, d_model, cfg.kernel_size),
+            "ln3": layer_norm_init(d_model),
             "cross": cross_attention_init(k2, d_model, d_model,
                                           cfg.attention_heads),
-            "ln3": layer_norm_init(d_model),
-            "ffn": ffn_init(k3, d_model, cfg.linear_units),
         })
     params = {
         "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        # decoders3 ffn-only tail (FunASR ParaformerSANMDecoder always has 1)
+        "tail": {
+            "ln1": layer_norm_init(d_model),
+            "ffn": ffn_init(keys[-3], d_model, cfg.linear_units),
+        },
         "after_norm": layer_norm_init(d_model),
         "out": dense_init(keys[-1], d_model, vocab_size),
     }
@@ -76,26 +100,43 @@ def _kernel_size(params) -> int:
     return params["blocks"]["fsmn"]["taps"].shape[1]
 
 
+def _fsmn_left(params, cfg: Optional[DecoderConfig]) -> int:
+    """Left-context taps for the offline (uncached) path. None/default =
+    fully causal; converted FunASR models carry sanm_shift in config."""
+    kernel = _kernel_size(params)
+    if cfg is None or cfg.sanm_shift is None:
+        return kernel - 1
+    return (kernel - 1) // 2 + cfg.sanm_shift
+
+
 def _block(layer, x, enc, enc_mask, mask, heads, cache=None,
-           causal_left=None, valid_len=None):
-    h = layer_norm(layer["ln1"], x)
+           fsmn_left=None, valid_len=None):
+    # FunASR DecoderLayerSANM: ffn first, one residual spanning ffn+fsmn
+    h = ffn(layer["ffn"], layer_norm(layer["ln1"], x))
+    h = layer_norm(layer["ln2"], h)
     if cache is not None:
         if mask is not None:
             h = h * mask[..., None].astype(h.dtype)
-        h, new_cache = fsmn_apply_cached(layer["fsmn"], h, cache, valid_len)
+        m, new_cache = fsmn_apply_cached(layer["fsmn"], h, cache, valid_len)
     else:
         new_cache = None
-        h = fsmn_apply(layer["fsmn"], h, mask, left=causal_left)
-    x = x + h
-    x = x + cross_attention(layer["cross"], layer_norm(layer["ln2"], x),
+        m = fsmn_apply(layer["fsmn"], h, mask, left=fsmn_left)
+    x = x + m
+    x = x + cross_attention(layer["cross"], layer_norm(layer["ln3"], x),
                             enc, heads, enc_mask)
-    x = x + ffn(layer["ffn"], layer_norm(layer["ln3"], x))
     if mask is not None:
         x = x * mask[..., None].astype(x.dtype)
     return x, new_cache
 
 
-def _head(params, x, hw_emb, hw_mask, heads):
+def _tail_and_head(params, x, mask, hw_emb, hw_mask, heads):
+    if "tail" in params and params["tail"] is not None:
+        # decoders3: ffn(norm1(x)) with NO residual (FunASR DecoderLayerSANM
+        # with self_attn=None, src_attn=None returns the ffn output alone)
+        x = ffn(params["tail"]["ffn"],
+                layer_norm(params["tail"]["ln1"], x))
+        if mask is not None:
+            x = x * mask[..., None].astype(x.dtype)
     if hw_emb is not None and "hotword" in params:
         x = x + cross_attention(params["hotword"]["cross"],
                                 layer_norm(params["hotword"]["ln"], x),
@@ -109,17 +150,17 @@ def apply(params, ac_embeds, enc, enc_mask=None, mask=None,
           cfg: Optional[DecoderConfig] = None):
     """Offline pass. ac_embeds: [B, U, D] CIF embeddings; enc: [B, T, D].
 
-    Returns logits [B, U, vocab]. FSMN blocks run fully causal (left =
-    kernel-1) so offline and streaming decoders share semantics.
+    Returns logits [B, U, vocab]. FSMN context window comes from
+    cfg.sanm_shift (None = fully causal, matching the streaming path).
     """
     if cfg is not None:
         heads = cfg.attention_heads
-    kernel = _kernel_size(params)
+    left = _fsmn_left(params, cfg)
 
     if _SCAN:
         def body(x, layer):
             x, _ = _block(layer, x, enc, enc_mask, mask, heads,
-                          causal_left=kernel - 1)
+                          fsmn_left=left)
             return x, None
 
         x, _ = jax.lax.scan(body, ac_embeds, params["blocks"])
@@ -129,8 +170,8 @@ def apply(params, ac_embeds, enc, enc_mask=None, mask=None,
         for i in range(n):
             layer = jax.tree.map(lambda a: a[i], params["blocks"])
             x, _ = _block(layer, x, enc, enc_mask, mask, heads,
-                          causal_left=kernel - 1)
-    return _head(params, x, hw_emb, hw_mask, heads)
+                          fsmn_left=left)
+    return _tail_and_head(params, x, mask, hw_emb, hw_mask, heads)
 
 
 def init_caches(params, batch: int) -> jnp.ndarray:
@@ -144,8 +185,9 @@ def apply_streaming(params, ac_embeds, enc, caches,
                     hw_emb=None, hw_mask=None, heads: int = 4
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Chunk pass with FSMN cache carry [L, B, lorder, D]. Same math as
-    `apply` when the chunks are concatenated (tested). valid_len [B] gives
-    the true token count per stream for padded chunks."""
+    `apply` (with default causal sanm_shift) when the chunks are
+    concatenated (tested). valid_len [B] gives the true token count per
+    stream for padded chunks."""
 
     if _SCAN:
         def body(x, layer_and_cache):
@@ -166,4 +208,5 @@ def apply_streaming(params, ac_embeds, enc, caches,
                            cache=caches[i], valid_len=valid_len)
             ncs.append(nc)
         new_caches = jnp.stack(ncs)
-    return _head(params, x, hw_emb, hw_mask, heads), new_caches
+    return (_tail_and_head(params, x, mask, hw_emb, hw_mask, heads),
+            new_caches)

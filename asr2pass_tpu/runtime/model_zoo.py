@@ -106,10 +106,20 @@ def save_offline_bundle(path: str, params, cfg: cfg_mod.ParaformerConfig,
                 "attention_heads": cfg.decoder.attention_heads,
                 "linear_units": cfg.decoder.linear_units,
                 "kernel_size": cfg.decoder.kernel_size,
+                # absent = in-repo causal convention; FunASR dirs always
+                # carry sanm_shfit (centered window)
+                **({} if cfg.decoder.sanm_shift is None
+                   else {"sanm_shift": cfg.decoder.sanm_shift}),
             },
             "predictor_conf": {
                 "threshold": cfg.predictor.threshold,
                 "tail_threshold": cfg.predictor.tail_threshold,
+                "smooth_factor": cfg.predictor.smooth_factor,
+                "noise_threshold": cfg.predictor.noise_threshold,
+                "use_timestamp": cfg.predictor.use_timestamp,
+                "upsample_times": cfg.predictor.upsample_times,
+                "smooth_factor2": cfg.predictor.smooth_factor2,
+                "noise_threshold2": cfg.predictor.noise_threshold2,
             },
             "vocab_size": cfg.vocab_size,
             "lang": cfg.lang,

@@ -24,13 +24,22 @@ transpose; Conv1d depthwise [d,1,k] -> fsmn taps [k,d]):
     src_attn.linear_k_v    -> decoder.blocks.cross.kv
     src_attn.linear_out    -> decoder.blocks.cross.out
     feed_forward.w_1/w_2   -> decoder.blocks.ffn.w1/w2
-    norm1/2/3              -> ln1/ln2/ln3
+    norm1/2/3              -> ln1/ln2/ln3 (paired with ffn/fsmn/cross —
+                              models/sanm_decoder.py implements FunASR's
+                              DecoderLayerSANM op order exactly)
+  decoder.decoders3.0      -> decoder.tail (ffn-only block, no residual)
   decoder.after_norm / decoder.output_layer -> after_norm / out
+  predictor.cif_conv1d     -> predictor.conv ([out,in,k] -> [k,in,out])
+  predictor.cif_output     -> predictor.out
+  predictor.upsample_cnn   -> predictor.us_cnn (ConvTranspose1d [in,out,k]
+                              -> [k,in,out]); predictor.blstm -> blstm
+  predictor.cif_output2    -> predictor.us_out
+  bias_encoder (LSTM)      -> hotword compiler params (model_eb role)
 
-Architectural deltas vs FunASR (block-internal op order, decoders3 tail
-layers) mean converted models should be validated with
-clients/asr_client_api.check_transcripts against reference outputs before
-production use; the converter reports unmapped tensors loudly.
+Converted-layout equivalence is proven by tests/test_convert_parity.py: a
+FunASR-faithful numpy forward over a synthetic state dict must match our
+JAX model's logits bit-for-bit (atol 1e-4). The converter reports unmapped
+tensors loudly.
 """
 from __future__ import annotations
 
@@ -106,6 +115,18 @@ def _dec_layer(sd: Dict[str, np.ndarray], pfx: str) -> dict:
     }
 
 
+def _lstm_dir(sd: Dict[str, np.ndarray], pfx: str, suffix: str = "") -> dict:
+    """torch nn.LSTM single direction -> our lstm params (layers.lstm_init
+    layout: wx [in,4H] with summed bias, wh [H,4H] no bias; gate order
+    i,f,g,o matches torch)."""
+    return {
+        "wx": {"w": _t(sd[f"{pfx}.weight_ih_l0{suffix}"]),
+               "b": (np.asarray(sd[f"{pfx}.bias_ih_l0{suffix}"])
+                     + np.asarray(sd[f"{pfx}.bias_hh_l0{suffix}"]))},
+        "wh": {"w": _t(sd[f"{pfx}.weight_hh_l0{suffix}"])},
+    }
+
+
 def convert_state_dict(sd: Dict[str, np.ndarray]) -> dict:
     """FunASR Paraformer state dict -> our param pytree. Raises KeyError
     with the missing tensor name on layout mismatch."""
@@ -123,6 +144,50 @@ def convert_state_dict(sd: Dict[str, np.ndarray]) -> dict:
     first = _att_layer(sd, "encoder.encoders0.0")
     rest = [_att_layer(sd, f"encoder.encoders.{i}")
             for i in range(n_enc - 1)]
+    predictor = {
+        "conv": {"w": jnp.asarray(_full_conv(
+                     sd["predictor.cif_conv1d.weight"])),
+                 "b": jnp.asarray(sd["predictor.cif_conv1d.bias"])},
+        "out": {"w": _t(sd["predictor.cif_output.weight"]),
+                "b": jnp.asarray(sd["predictor.cif_output.bias"])},
+    }
+    if "predictor.upsample_cnn.weight" in sd:
+        # CifPredictorV3 timestamp head: ConvTranspose1d [in,out,k] ->
+        # [k,in,out]; BLSTM fw/bw; cif_output2 linear
+        predictor["us_cnn"] = {
+            "w": jnp.asarray(np.transpose(
+                np.asarray(sd["predictor.upsample_cnn.weight"]), (2, 0, 1))),
+            "b": jnp.asarray(sd["predictor.upsample_cnn.bias"]),
+        }
+        predictor["blstm"] = {
+            "fw": jax.tree.map(jnp.asarray,
+                               _lstm_dir(sd, "predictor.blstm")),
+            "bw": jax.tree.map(jnp.asarray,
+                               _lstm_dir(sd, "predictor.blstm", "_reverse")),
+        }
+        predictor["us_out"] = {"w": _t(sd["predictor.cif_output2.weight"]),
+                               "b": jnp.asarray(
+                                   sd["predictor.cif_output2.bias"])}
+    decoder = {
+        "blocks": stack([_dec_layer(sd, f"decoder.decoders.{i}")
+                         for i in range(n_dec)]),
+        "after_norm": {"g": jnp.asarray(sd["decoder.after_norm.weight"]),
+                       "b": jnp.asarray(sd["decoder.after_norm.bias"])},
+        "out": {"w": _t(sd["decoder.output_layer.weight"]),
+                "b": jnp.asarray(sd["decoder.output_layer.bias"])},
+    }
+    if "decoder.decoders3.0.norm1.weight" in sd:
+        pfx = "decoder.decoders3.0"
+        decoder["tail"] = {
+            "ln1": {"g": jnp.asarray(sd[f"{pfx}.norm1.weight"]),
+                    "b": jnp.asarray(sd[f"{pfx}.norm1.bias"])},
+            "ffn": {
+                "w1": {"w": _t(sd[f"{pfx}.feed_forward.w_1.weight"]),
+                       "b": jnp.asarray(sd[f"{pfx}.feed_forward.w_1.bias"])},
+                "w2": {"w": _t(sd[f"{pfx}.feed_forward.w_2.weight"]),
+                       "b": jnp.asarray(sd[f"{pfx}.feed_forward.w_2.bias"])},
+            },
+        }
     params = {
         "encoder": {
             "first": jax.tree.map(jnp.asarray, first),
@@ -130,29 +195,57 @@ def convert_state_dict(sd: Dict[str, np.ndarray]) -> dict:
             "after_norm": {"g": jnp.asarray(sd["encoder.after_norm.weight"]),
                            "b": jnp.asarray(sd["encoder.after_norm.bias"])},
         },
-        "predictor": {
-            "conv": {"w": jnp.asarray(_full_conv(
-                         sd["predictor.cif_conv1d.weight"])),
-                     "b": jnp.asarray(sd["predictor.cif_conv1d.bias"])},
-            "out": {"w": _t(sd["predictor.cif_output.weight"]),
-                    "b": jnp.asarray(sd["predictor.cif_output.bias"])},
-        },
-        "decoder": {
-            "blocks": stack([_dec_layer(sd, f"decoder.decoders.{i}")
-                             for i in range(n_dec)]),
-            "after_norm": {"g": jnp.asarray(sd["decoder.after_norm.weight"]),
-                           "b": jnp.asarray(sd["decoder.after_norm.bias"])},
-            "out": {"w": _t(sd["decoder.output_layer.weight"]),
-                    "b": jnp.asarray(sd["decoder.output_layer.bias"])},
-        },
+        "predictor": predictor,
+        "decoder": decoder,
     }
+    if "bias_encoder.weight_ih_l0" in sd:
+        # contextual/hotword checkpoints: the model_eb hotword compiler
+        # (paraformer.cpp:592-693) = embedding + LSTM over hotword tokens
+        hw = {"lstm": jax.tree.map(jnp.asarray,
+                                   _lstm_dir(sd, "bias_encoder"))}
+        if "bias_embed.weight" in sd:
+            hw["embed"] = {"table": jnp.asarray(sd["bias_embed.weight"])}
+        params["hotword_compiler"] = hw
     mapped_prefixes = ("encoder.", "decoder.decoders", "decoder.after_norm",
-                      "decoder.output_layer", "predictor.cif_")
+                       "decoder.output_layer", "predictor.",
+                       "bias_encoder.", "bias_embed.")
     unmapped = [k for k in sd if not k.startswith(mapped_prefixes)]
     if unmapped:
         print(f"WARNING: {len(unmapped)} unmapped tensors, e.g. "
               f"{unmapped[:5]}", file=sys.stderr)
     return params
+
+
+def convert_vad_state_dict(sd: Dict[str, np.ndarray]) -> dict:
+    """FunASR FSMN-VAD state dict (FsmnVadStreaming: encoder=FSMN with
+    in_linear1/2, fsmn.N.{0:LinearTransform,1:Fsmn,2:AffineTransform},
+    out_linear1/2) -> models/fsmn_vad.py params. Depthwise Conv2d weight
+    [d,1,lorder,1] -> taps [lorder,d]."""
+    import jax.numpy as jnp
+
+    def lin(pfx):
+        p = {"w": jnp.asarray(_t(sd[f"{pfx}.linear.weight"]))}
+        if f"{pfx}.linear.bias" in sd:
+            p["b"] = jnp.asarray(sd[f"{pfx}.linear.bias"])
+        return p
+
+    n = len({m.group(1) for k in sd
+             if (m := re.match(r"encoder\.fsmn\.(\d+)\.", k))})
+    blocks = []
+    for i in range(n):
+        taps = np.asarray(sd[f"encoder.fsmn.{i}.1.conv_left.weight"])
+        blocks.append({
+            "proj": lin(f"encoder.fsmn.{i}.0"),
+            "taps": jnp.asarray(taps[:, 0, :, 0].T),
+            "affine": lin(f"encoder.fsmn.{i}.2"),
+        })
+    return {
+        "in1": lin("encoder.in_linear1"),
+        "in2": lin("encoder.in_linear2"),
+        "blocks": blocks,
+        "out1": lin("encoder.out_linear1"),
+        "out2": lin("encoder.out_linear2"),
+    }
 
 
 def main(argv=None):

@@ -1,0 +1,133 @@
+"""Converted-layout equivalence: FunASR torch-layout state dicts, run
+through tools/convert_funasr.convert_state_dict into our JAX Paraformer,
+must reproduce the FunASR-faithful numpy forward (tests/funasr_numpy_ref)
+logit-for-logit.
+
+This is the proof (without real weights in this environment) that a
+converted real checkpoint — e.g. the paraformer-large dir the reference
+auto-downloads (funasr-wss-server-2pass.cpp:195-502) — is numerically
+faithful: same encoder/CIF/decoder math as the ONNX graphs the reference
+drives at paraformer.cpp:463-589.
+"""
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from asr2pass_tpu.config import (
+    DecoderConfig,
+    EncoderConfig,
+    ParaformerConfig,
+    PredictorConfig,
+)
+from asr2pass_tpu.models import paraformer
+from asr2pass_tpu.tools.convert_funasr import convert_state_dict
+
+from funasr_numpy_ref import make_state_dict, paraformer_forward
+
+D_IN, D, ENC_L, DEC_L, FFN, VOCAB, HEADS = 20, 16, 3, 2, 40, 23, 2
+ENC_K = DEC_K = 5
+
+
+def _cfg(timestamp=False):
+    return ParaformerConfig(
+        encoder=EncoderConfig(input_size=D_IN, output_size=D,
+                              num_blocks=ENC_L, attention_heads=HEADS,
+                              linear_units=FFN, kernel_size=ENC_K),
+        decoder=DecoderConfig(num_blocks=DEC_L, attention_heads=HEADS,
+                              linear_units=FFN, kernel_size=DEC_K,
+                              sanm_shift=0),   # FunASR offline: centered
+        predictor=PredictorConfig(idim=D, use_timestamp=timestamp),
+        vocab_size=VOCAB,
+    )
+
+
+def _run_both(timestamp=False, seed=0, t=25):
+    rng = np.random.default_rng(seed)
+    sd = make_state_dict(rng, d_in=D_IN, d_model=D, enc_blocks=ENC_L,
+                         dec_blocks=DEC_L, ffn_dim=FFN, vocab=VOCAB,
+                         enc_kernel=ENC_K, dec_kernel=DEC_K,
+                         timestamp=timestamp)
+    feats = rng.standard_normal((t, D_IN)).astype(np.float32)
+    ref_logits, ref_n, ref_us, ref_peaks = paraformer_forward(
+        sd, feats, d_model=D, enc_blocks=ENC_L, dec_blocks=DEC_L,
+        heads=HEADS, enc_kernel=ENC_K, dec_kernel=DEC_K,
+        timestamp=timestamp)
+
+    params = convert_state_dict(sd)
+    out = paraformer.apply(params, _cfg(timestamp), jnp.asarray(feats[None]),
+                           jnp.asarray([t], jnp.int32))
+    return (ref_logits, ref_n, ref_us, ref_peaks), out
+
+
+def test_standard_paraformer_logit_parity():
+    (ref_logits, ref_n, _, _), out = _run_both()
+    n = int(out.token_num[0])
+    assert n == ref_n, f"token counts differ: {n} vs {ref_n}"
+    assert n > 2, "degenerate test: too few CIF fires"
+    got = np.asarray(out.logits[0, :n])
+    np.testing.assert_allclose(got, ref_logits, rtol=2e-4, atol=2e-4)
+    # greedy transcription identical
+    np.testing.assert_array_equal(got.argmax(-1), ref_logits.argmax(-1))
+
+
+def test_timestamp_paraformer_us_parity():
+    (ref_logits, ref_n, ref_us, ref_peaks), out = _run_both(timestamp=True,
+                                                            seed=1)
+    n = int(out.token_num[0])
+    assert n == ref_n
+    np.testing.assert_allclose(np.asarray(out.logits[0, :n]), ref_logits,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.us_alphas[0]), ref_us,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.us_cif_peak[0]), ref_peaks,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_padded_batch_matches_solo():
+    """Batched padded inference must equal per-utterance inference — the
+    TPU path batches VAD segments (FetchDynamic role, audio.cpp:1052-1108)
+    so padding must be inert (tail fire at each row's own valid length)."""
+    rng = np.random.default_rng(2)
+    sd = make_state_dict(rng, d_in=D_IN, d_model=D, enc_blocks=ENC_L,
+                         dec_blocks=DEC_L, ffn_dim=FFN, vocab=VOCAB,
+                         enc_kernel=ENC_K, dec_kernel=DEC_K)
+    params = convert_state_dict(sd)
+    cfg = _cfg()
+    t1, t2 = 18, 30
+    f1 = rng.standard_normal((t1, D_IN)).astype(np.float32)
+    f2 = rng.standard_normal((t2, D_IN)).astype(np.float32)
+    batch = np.zeros((2, t2, D_IN), np.float32)
+    batch[0, :t1] = f1
+    batch[1] = f2
+    out_b = paraformer.apply(params, cfg, jnp.asarray(batch),
+                             jnp.asarray([t1, t2], jnp.int32))
+    out_1 = paraformer.apply(params, cfg, jnp.asarray(f1[None]),
+                             jnp.asarray([t1], jnp.int32))
+    n = int(out_1.token_num[0])
+    assert int(out_b.token_num[0]) == n
+    np.testing.assert_allclose(np.asarray(out_b.logits[0, :n]),
+                               np.asarray(out_1.logits[0, :n]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_hotword_compiler_conversion():
+    """bias_encoder LSTM params convert into our hotword-compiler layout
+    and reproduce the torch LSTM recurrence (model_eb role)."""
+    from asr2pass_tpu.models.layers import lstm_apply
+
+    from funasr_numpy_ref import _lstm_np
+
+    rng = np.random.default_rng(3)
+    sd = make_state_dict(rng, d_in=D_IN, d_model=D, enc_blocks=ENC_L,
+                         dec_blocks=DEC_L, ffn_dim=FFN, vocab=VOCAB,
+                         enc_kernel=ENC_K, dec_kernel=DEC_K, hotword=True)
+    params = convert_state_dict(sd)
+    assert "hotword_compiler" in params
+    ids = rng.integers(0, VOCAB, 7)
+    emb = np.asarray(sd["bias_embed.weight"])[ids]
+    ref = _lstm_np(sd, "bias_encoder", emb)
+    got = np.asarray(lstm_apply(params["hotword_compiler"]["lstm"],
+                                jnp.asarray(emb[None])))[0]
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
