@@ -67,9 +67,9 @@ def init(key, cfg: EncoderConfig):
             "after_norm": layer_norm_init(cfg.output_size)}
 
 
-def _block(layer, x, mask, heads, residual: bool):
+def _block(layer, x, mask, heads, residual: bool, att_mask=None):
     h = sanm_attention(layer["att"], layer_norm(layer["ln1"], x),
-                       heads, mask)
+                       heads, mask, att_mask)
     x = x + h if residual else h
     x = x + ffn(layer["ffn"], layer_norm(layer["ln2"], x))
     if mask is not None:
@@ -79,11 +79,14 @@ def _block(layer, x, mask, heads, residual: bool):
 
 def apply(params, feats, mask: Optional[jnp.ndarray] = None,
           pos_start: int = 0, add_posenc: bool = True,
-          d_model: Optional[int] = None, heads: int = 4):
+          d_model: Optional[int] = None, heads: int = 4,
+          att_mask: Optional[jnp.ndarray] = None):
     """feats: [B, T, input_size] LFR+CMVN features -> [B, T, d] encodings.
 
     pos_start: absolute start index for the streaming positional encoding
     (start_idx_cache_ role, paraformer-online.cpp:242-244).
+    att_mask: [T, T] or [B, T, T] extra attention mask (the punc VadMask,
+    ct-transformer-online.cpp:225-240).
     """
     b, t, d_in = feats.shape
     if d_model is None:
@@ -92,18 +95,20 @@ def apply(params, feats, mask: Optional[jnp.ndarray] = None,
     if add_posenc:
         x = x + sinusoidal_posenc(pos_start, t, d_in)[None].astype(x.dtype)
     x = _block(params["first"], x, mask, heads,
-               residual=(d_in == d_model))
+               residual=(d_in == d_model), att_mask=att_mask)
     if params["rest"] is not None:
         if _SCAN:
             def body(x, layer):
-                return _block(layer, x, mask, heads, residual=True), None
+                return _block(layer, x, mask, heads, residual=True,
+                              att_mask=att_mask), None
 
             x, _ = jax.lax.scan(body, x, params["rest"])
         else:
             n = jax.tree.leaves(params["rest"])[0].shape[0]
             for i in range(n):
                 layer = jax.tree.map(lambda a: a[i], params["rest"])
-                x = _block(layer, x, mask, heads, residual=True)
+                x = _block(layer, x, mask, heads, residual=True,
+                           att_mask=att_mask)
     return layer_norm(params["after_norm"], x)
 
 

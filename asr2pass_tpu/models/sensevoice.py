@@ -49,7 +49,14 @@ class SenseVoiceOutput(NamedTuple):
 
 def apply(params, cfg: SenseVoiceConfig, feats, lengths, lid_ids, tn_ids
           ) -> SenseVoiceOutput:
-    """feats: [B, T, lfr_dim]; lid_ids/tn_ids: [B] meta token ids."""
+    """feats: [B, T, lfr_dim]; lid_ids/tn_ids: [B] meta token ids.
+
+    Converted SenseVoiceSmall checkpoints carry the tp_encoders stack
+    (`tp` params): after the main encoder's after_norm, tp_blocks more
+    SAN-M layers + tp_norm feed the CTC head — the FunASR
+    SenseVoiceEncoderSmall layout."""
+    import jax
+
     b, t, d_in = feats.shape
     lid = jnp.take(params["lid_embed"], lid_ids, axis=0)[:, None, :]
     tn = jnp.take(params["tn_embed"], tn_ids, axis=0)[:, None, :]
@@ -60,6 +67,16 @@ def apply(params, cfg: SenseVoiceConfig, feats, lengths, lid_ids, tn_ids
     enc = sanm_encoder.apply(params["encoder"], x, mask,
                              d_model=cfg.encoder.output_size,
                              heads=cfg.encoder.attention_heads)
+    if "tp" in params and params["tp"] is not None:
+        from asr2pass_tpu.models.layers import layer_norm
+
+        n = jax.tree.leaves(params["tp"]["rest"])[0].shape[0]
+        for i in range(n):
+            layer = jax.tree.map(lambda a: a[i], params["tp"]["rest"])
+            enc = sanm_encoder._block(layer, enc, mask,
+                                      cfg.encoder.attention_heads,
+                                      residual=True)
+        enc = layer_norm(params["tp"]["norm"], enc)
     logits = dense(params["ctc"], enc)
     return SenseVoiceOutput(logits=logits, lengths=full_len)
 

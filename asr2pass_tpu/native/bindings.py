@@ -71,6 +71,26 @@ def _load():
     lib.a2p_lmdec_decode.argtypes = [
         ctypes.c_void_p, f32p, ctypes.c_int64, ctypes.c_int32,
         i32p, ctypes.c_int32, i32p, i32p]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.a2p_ac_num_states.restype = ctypes.c_int32
+    lib.a2p_ac_num_states.argtypes = [ctypes.c_void_p]
+    lib.a2p_fst_load.restype = ctypes.c_void_p
+    lib.a2p_fst_load.argtypes = [ctypes.c_char_p]
+    lib.a2p_fst_free.argtypes = [ctypes.c_void_p]
+    lib.a2p_fst_info.argtypes = [ctypes.c_void_p, i64p]
+    lib.a2p_fst_transduce.restype = ctypes.c_int64
+    lib.a2p_fst_transduce.argtypes = [ctypes.c_void_p, i32p,
+                                      ctypes.c_int64, i32p, ctypes.c_int64]
+    lib.a2p_tlg_new.restype = ctypes.c_void_p
+    lib.a2p_tlg_new.argtypes = [ctypes.c_void_p, ctypes.c_float,
+                                ctypes.c_int32, ctypes.c_float,
+                                ctypes.c_float, ctypes.c_void_p]
+    lib.a2p_tlg_free.argtypes = [ctypes.c_void_p]
+    lib.a2p_tlg_start.argtypes = [ctypes.c_void_p]
+    lib.a2p_tlg_step.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int64]
+    lib.a2p_tlg_nbest.restype = ctypes.c_int64
+    lib.a2p_tlg_nbest.argtypes = [ctypes.c_void_p, ctypes.c_int32, i32p,
+                                  ctypes.c_int64, f32p]
     _lib = lib
     return _lib
 
@@ -287,3 +307,105 @@ class NativeLmDecoder:
     def __del__(self):
         if getattr(self, "_handle", None) and self._lib:
             self._lib.a2p_lmdec_free(self._handle)
+
+
+class NativeFst:
+    """OpenFST-format graph loaded by the native runtime (fst.cc): the
+    artifacts existing deployments already have — TLG.fst and the
+    WeTextProcessing ITN grammars (com-define.h:76-80) — readable without
+    vendoring OpenFST. `transduce` = compose(linear(input), fst) +
+    tropical shortest path (itn-processor.cpp:53-87 semantics)."""
+
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native lib unavailable")
+        self._lib = lib
+        self.ptr = lib.a2p_fst_load(path.encode())
+        if not self.ptr:
+            raise ValueError(f"cannot read OpenFST file: {path}")
+        info = np.zeros(3, np.int64)
+        lib.a2p_fst_info(ctypes.c_void_p(self.ptr), _i64(info))
+        self.start, self.num_states, self.num_arcs = (int(info[0]),
+                                                      int(info[1]),
+                                                      int(info[2]))
+
+    def transduce(self, labels: List[int]) -> Optional[List[int]]:
+        """Input label sequence -> best-path output labels (epsilon-free);
+        None when no path accepts the input."""
+        inp = np.ascontiguousarray(labels, np.int32)
+        cap = max(4 * len(inp) + 64, 256)
+        while True:
+            out = np.empty(cap, np.int32)
+            n = self._lib.a2p_fst_transduce(
+                ctypes.c_void_p(self.ptr), _i32(inp), len(inp),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
+            if n == -2:
+                cap *= 4
+                continue
+            if n < 0:
+                return None
+            return [int(x) for x in out[:n]]
+
+    def __del__(self):
+        try:
+            if getattr(self, "ptr", None) and self._lib is not None:
+                self._lib.a2p_fst_free(ctypes.c_void_p(self.ptr))
+        except TypeError:  # interpreter shutdown
+            pass
+
+
+def _i64(a):
+    return np.ascontiguousarray(a, np.int64).ctypes.data_as(
+        ctypes.POINTER(ctypes.c_int64))
+
+
+class NativeTlgFstDecoder:
+    """Beam token-passing over a TLG.fst decoding graph (tlg_decoder.cc;
+    WfstDecoder role, wfst-decoder.cpp:27-92) with optional Aho-Corasick
+    hotword bias (the SetBiasLm hook) and unique-final nbest."""
+
+    def __init__(self, fst: NativeFst, beam: float = 16.0,
+                 max_active: int = 2000, ac_scale: float = 1.0,
+                 lm_scale: float = 1.0, bias: Optional["NativeAcBias"] = None):
+        self._lib = _load()
+        self.fst = fst          # keep alive
+        self.bias = bias        # keep alive
+        self.ptr = self._lib.a2p_tlg_new(
+            ctypes.c_void_p(fst.ptr), ctypes.c_float(beam), max_active,
+            ctypes.c_float(ac_scale), ctypes.c_float(lm_scale),
+            ctypes.c_void_p(bias._handle) if bias is not None else None)
+
+    def start_utterance(self):
+        self._lib.a2p_tlg_start(ctypes.c_void_p(self.ptr))
+
+    def step(self, logp_by_ilabel: np.ndarray):
+        row = np.ascontiguousarray(logp_by_ilabel, np.float32)
+        self._lib.a2p_tlg_step(ctypes.c_void_p(self.ptr), _f32(row),
+                               len(row))
+
+    def nbest(self, n: int = 1) -> List[Tuple[List[int], float]]:
+        cap = 1 << 16
+        out = np.empty(cap, np.int32)
+        scores = np.empty(n, np.float32)
+        got = self._lib.a2p_tlg_nbest(
+            ctypes.c_void_p(self.ptr), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        res: List[Tuple[List[int], float]] = []
+        off = 0
+        for i in range(got):
+            seq = []
+            while out[off] != -1:
+                seq.append(int(out[off]))
+                off += 1
+            off += 1
+            res.append((seq, float(scores[i])))
+        return res
+
+    def __del__(self):
+        try:
+            if getattr(self, "ptr", None) and self._lib is not None:
+                self._lib.a2p_tlg_free(ctypes.c_void_p(self.ptr))
+        except TypeError:  # interpreter shutdown
+            pass

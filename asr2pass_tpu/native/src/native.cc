@@ -130,6 +130,10 @@ extern "C" A2pAcBias* a2p_ac_build(const int32_t* symbols,
 
 extern "C" void a2p_ac_free(A2pAcBias* ac) { delete ac; }
 
+extern "C" int32_t a2p_ac_num_states(const A2pAcBias* ac) {
+  return (int32_t)ac->nodes.size();
+}
+
 extern "C" float a2p_ac_step(const A2pAcBias* ac, int32_t* state,
                              int32_t symbol) {
   const auto& nodes = ac->nodes;

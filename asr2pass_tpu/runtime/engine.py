@@ -20,6 +20,8 @@ caches, detok state) is tiny O(text) work.
 from __future__ import annotations
 
 import functools
+import queue
+import threading
 from dataclasses import dataclass, field
 from typing import Any, List
 
@@ -111,10 +113,22 @@ class _Slot:
     seg_queue: list = field(default_factory=list)  # offline AudioFrames
     punc_cache: list = field(default_factory=list)
     results: list = field(default_factory=list)
+    # per-connection first-message options (the reference plumbs all of
+    # these per connection, websocket-server-2pass.cpp:424-523)
+    hw_emb: Any = None                 # compiled hotword embeddings [N, D]
+    lm_decoder: Any = None             # per-connection LM handle (+bias)
+    use_itn: bool = True
+    svs_lang: Any = None
+    svs_itn: Any = None
+    vad_tail_sil: Any = None           # max_end_silence override (ms)
+    vad_max_len: Any = None            # max_single_segment override (ms)
+    speech_noise_thres: Any = None
+    p2_inflight: int = 0               # segments handed to the pass-2 lane
 
 
 class StreamEngine:
-    def __init__(self, models, capacity: int = 64, mode: str = "2pass"):
+    def __init__(self, models, capacity: int = 64, mode: str = "2pass",
+                 pass2_async: bool = False):
         self.models = models
         self.capacity = capacity
         self.mode = mode
@@ -151,6 +165,18 @@ class StreamEngine:
             (capacity, fcfg.lfr_m - 1, fcfg.n_mels), jnp.float32)
         self._vad_total = np.zeros(capacity, np.int64)
         self._vad_next = np.zeros(capacity, np.int64)
+        # pass-1 / pass-2 priority lanes (SURVEY §7 "latency vs batching
+        # tension"): with pass2_async the tick never runs offline decodes —
+        # segments go to a background worker thread, so a burst of long
+        # segments cannot stall pass-1 partials for every stream
+        self._results_lock = threading.Lock()
+        self._p2_async = pass2_async
+        self._p2_queue: "queue.Queue" = queue.Queue()
+        self._p2_thread = None
+        if pass2_async and self.offline is not None:
+            self._p2_thread = threading.Thread(
+                target=self._p2_worker, daemon=True, name="pass2-lane")
+            self._p2_thread.start()
 
     def warmup(self):
         """Compile the batched VAD + ASR steps before serving traffic
@@ -171,12 +197,29 @@ class StreamEngine:
             jnp.zeros((self.capacity,), bool))
 
     # -- stream lifecycle ------------------------------------------------
-    def open(self) -> int:
+    def open(self, hw_emb=None, hotwords=None, use_itn: bool = True,
+             svs_lang=None, svs_itn=None, vad_tail_sil=None,
+             vad_max_len=None, speech_noise_thres=None) -> int:
+        """Claim a slot with this connection's first-message options —
+        feature parity with TwoPassSession (the reference supports
+        hotwords + per-request VAD/ITN/svs config on every connection,
+        websocket-server-2pass.cpp:424-523)."""
         for sid, slot in enumerate(self.slots):
             if not slot.active:
                 self._reset_slot(sid)
                 slot = self.slots[sid]
                 slot.active = True
+                slot.hw_emb = hw_emb
+                slot.use_itn = use_itn
+                slot.svs_lang = svs_lang
+                slot.svs_itn = svs_itn
+                slot.vad_tail_sil = vad_tail_sil
+                slot.vad_max_len = vad_max_len
+                slot.speech_noise_thres = speech_noise_thres
+                if (self.models.lm is not None
+                        or self.models.tlg_dir is not None):
+                    slot.lm_decoder = self.models._make_lm_decoder(
+                        hotwords or None)
                 return sid
         raise RuntimeError("engine at capacity")
 
@@ -223,9 +266,21 @@ class StreamEngine:
             (np.asarray(samples, np.float32), is_final))
 
     def poll(self, sid: int) -> List[dict]:
-        out = self.slots[sid].results
-        self.slots[sid].results = []
+        with self._results_lock:
+            out = self.slots[sid].results
+            self.slots[sid].results = []
         return out
+
+    def drained(self, sid: int) -> bool:
+        """True when every queued sample/frame/segment of this stream has
+        produced its results (incl. segments in the async pass-2 lane)."""
+        slot = self.slots[sid]
+        return (not slot.audio_in
+                and (slot.pending_feats is None
+                     or slot.pending_feats.shape[0] == 0)
+                and not slot.pending_final
+                and not slot.seg_queue
+                and slot.p2_inflight == 0)
 
     # -- the batched tick ------------------------------------------------
     def step(self):
@@ -315,9 +370,15 @@ class StreamEngine:
             # [n, 1] column is the exact equivalent of the full pdf row
             events = slot.sm(
                 probs[sid, :n, None], samples, is_final=is_final, online=True,
-                max_end_sil=m.vad_cfg.max_end_silence_time,
-                max_single_segment_time=m.vad_cfg.max_single_segment_time,
-                speech_noise_thres=m.vad_cfg.speech_noise_thres,
+                max_end_sil=(slot.vad_tail_sil if slot.vad_tail_sil
+                             is not None else m.vad_cfg.max_end_silence_time),
+                max_single_segment_time=(
+                    slot.vad_max_len if slot.vad_max_len is not None
+                    else m.vad_cfg.max_single_segment_time),
+                speech_noise_thres=(
+                    slot.speech_noise_thres
+                    if slot.speech_noise_thres is not None
+                    else m.vad_cfg.speech_noise_thres),
             )
             online_frames, offline_frames = slot.splitter.feed(
                 samples, events, self.chunk_len, self.mode)
@@ -400,9 +461,11 @@ class StreamEngine:
                     text = slot.vocab.to_string(
                         [int(x) for x in ids[sid, :k]], streaming=True)
                     if text:
-                        slot.results.append(
-                            {"mode": "2pass-online" if self.mode == "2pass"
-                             else "online", "text": text})
+                        with self._results_lock:
+                            slot.results.append(
+                                {"mode": "2pass-online"
+                                 if self.mode == "2pass" else "online",
+                                 "text": text})
                 if finals[sid]:
                     slot.asr_frontend.reset()
                     slot.vocab.reset_streaming()
@@ -412,22 +475,67 @@ class StreamEngine:
     def _pass2(self):
         if self.offline is None:
             return
-        batch = []
-        owners = []
+        pairs = []
         for sid, slot in enumerate(self.slots):
             while slot.seg_queue:
                 fr = slot.seg_queue.pop(0)
-                batch.append(fr)
-                owners.append(sid)
-        if not batch:
+                slot.p2_inflight += 1
+                pairs.append((sid, fr))
+        if not pairs:
             return
-        outs = self.offline.asr.recognize_batch([f.data for f in batch])
-        for (text, merged), fr, sid in zip(outs, batch, owners):
+        if self._p2_async:
+            for p in pairs:
+                self._p2_queue.put(p)
+        else:
+            self._process_segments(pairs)
+
+    def _p2_worker(self):
+        """Background pass-2 lane: drains segments in batches so pass-1
+        ticks keep their ~600 ms cadence while long segments decode."""
+        while True:
+            pairs = [self._p2_queue.get()]
+            # greedy drain up to one device batch worth
+            while len(pairs) < 16:
+                try:
+                    pairs.append(self._p2_queue.get_nowait())
+                except queue.Empty:
+                    break
+            try:
+                self._process_segments(pairs)
+            except Exception:  # pragma: no cover - keep the lane alive
+                import logging
+
+                logging.getLogger("asr2pass.engine").exception(
+                    "pass-2 lane failure")
+                with self._results_lock:
+                    for sid, _ in pairs:
+                        self.slots[sid].p2_inflight -= 1
+
+    def _process_segments(self, pairs):
+        """Offline-decode segments with each owner's per-connection options
+        (hotwords, LM, ITN, svs lang) and post results to the slots."""
+        from asr2pass_tpu.runtime.sensevoice_asr import SenseVoiceOffline
+
+        slots = [self.slots[sid] for sid, _ in pairs]
+        segs = [fr.data for _, fr in pairs]
+        if isinstance(self.offline.asr, SenseVoiceOffline):
+            # SenseVoice pass-2: per-item lang/itn prefix ids
+            outs = self.offline.asr.recognize_batch(
+                segs, langs=[s.svs_lang for s in slots],
+                itn_flags=[s.svs_itn for s in slots])
+        else:
+            kw = {}
+            if any(s.hw_emb is not None for s in slots):
+                kw["hw_embs"] = [s.hw_emb for s in slots]
+            if any(s.lm_decoder is not None for s in slots):
+                kw["lm_decoders"] = [s.lm_decoder for s in slots]
+            outs = self.offline.asr.recognize_batch(segs, **kw)
+        for (text, merged), (sid, fr) in zip(outs, pairs):
             slot = self.slots[sid]
             stamps = ts_mod.stamps_to_ms(merged, fr.global_start / 1000.0)
             if self.punc is not None and text:
                 text = self.punc.add_punc_streaming(text, slot.punc_cache)
-            if self.models.itn is not None and text:
+            if self.models.itn is not None and slot.use_itn and text:
                 text_itn = self.models.itn.normalize(text)
                 if stamps:
                     sm = ts_mod.timestamp_smooth(text, text_itn, stamps)
@@ -438,4 +546,6 @@ class StreamEngine:
             if stamps:
                 res["timestamp"] = stamps
                 res["stamp_sents"] = ts_mod.timestamp_sentence(text, stamps)
-            slot.results.append(res)
+            with self._results_lock:
+                slot.results.append(res)
+                slot.p2_inflight -= 1

@@ -47,6 +47,18 @@ def _batch_bucket(n: int) -> int:
     return _MAX_BATCH
 
 
+# hotword-count buckets (rows of the compiled [N, D] embedding batch);
+# bounded so per-connection hotword lists don't each compile a program
+_HW_BUCKETS = [4, 8, 16, 32, 64]
+
+
+def _hw_bucket(n: int) -> int:
+    for b in _HW_BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // _HW_BUCKETS[-1]) * _HW_BUCKETS[-1]
+
+
 class ParaformerOffline:
     def __init__(self, params, cfg: ParaformerConfig, vocab: Vocab,
                  cmvn=None, lm_decoder=None):
@@ -59,12 +71,15 @@ class ParaformerOffline:
         self.lm_decoder = lm_decoder
 
     def _forward(self, feats_batch: np.ndarray, lengths: List[int],
-                 hw_emb: Optional[np.ndarray] = None):
+                 hw_batch: Optional[np.ndarray] = None,
+                 hw_lens: Optional[List[int]] = None):
         b, t, d = feats_batch.shape
         hw = hw_mask = None
-        if hw_emb is not None and "hotword" in self.params["decoder"]:
-            hw = jnp.asarray(np.broadcast_to(hw_emb[None], (b,) + hw_emb.shape))
-            hw_mask = jnp.ones((b, hw_emb.shape[0]), jnp.float32)
+        if hw_batch is not None and "hotword" in self.params["decoder"]:
+            hw = jnp.asarray(hw_batch)
+            ar = np.arange(hw_batch.shape[1])[None, :]
+            hw_mask = jnp.asarray(
+                (ar < np.asarray(hw_lens)[:, None]).astype(np.float32))
         # trained CIF fires ~1 token per 3+ LFR frames; T//2+8 slots halve
         # decoder FLOPs with ample margin
         return paraformer.apply_jit(
@@ -73,42 +88,75 @@ class ParaformerOffline:
         )
 
     def recognize_batch(self, segments: List[np.ndarray],
-                        hw_emb: Optional[np.ndarray] = None
+                        hw_emb: Optional[np.ndarray] = None,
+                        hw_embs: Optional[List] = None,
+                        lm_decoders: Optional[List] = None
                         ) -> List[Tuple[str, List[List[float]]]]:
         """Batch of raw-sample segments -> [(text, token_timestamps_s)].
 
         Segments are grouped per feature bucket and run as true batches —
         the TPU equivalent of FetchDynamic+GPU batching (audio.cpp:1052-1108,
-        paraformer-torch.cpp:301-420)."""
+        paraformer-torch.cpp:301-420).
+
+        Per-item options (the engine-batched path serves many connections
+        in one batch, each with its own first-message config,
+        websocket-server-2pass.cpp:424-523):
+          hw_embs[i]: per-segment compiled hotword embeddings [N_i, D]
+          (hw_emb is the shared-for-all shorthand); segments with and
+          without hotwords never share a device batch (the hotword
+          cross-attention block must be bypassed entirely when absent).
+          lm_decoders[i]: per-segment LM beam decoder (per-connection WFST
+          handle role); falls back to self.lm_decoder.
+        """
         means, vars_ = self.cmvn
         feats = offline_frontend_batch(segments, self.cfg.frontend,
                                        means, vars_)
+        if hw_embs is None:
+            hw_embs = [hw_emb] * len(feats)
+
+        def lm_for(i):
+            if lm_decoders is not None and lm_decoders[i] is not None:
+                return lm_decoders[i]
+            return self.lm_decoder
+
         results: List[Optional[Tuple[str, List[List[float]]]]] = [None] * len(feats)
-        # group indices by bucket
+        # group indices by (feature bucket, hotword batching key)
         groups = {}
         for i, f in enumerate(feats):
             if f.shape[0] == 0:
                 results[i] = ("", [])
                 continue
-            groups.setdefault(_bucket(f.shape[0]), []).append(i)
-        chunks = [(bucket, idxs[j: j + _MAX_BATCH])
-                  for bucket, idxs in groups.items()
+            hw = hw_embs[i]
+            hw_key = 0 if hw is None else _hw_bucket(hw.shape[0])
+            groups.setdefault((_bucket(f.shape[0]), hw_key), []).append(i)
+        chunks = [(bucket, hw_key, idxs[j: j + _MAX_BATCH])
+                  for (bucket, hw_key), idxs in groups.items()
                   for j in range(0, len(idxs), _MAX_BATCH)]
-        for bucket, idxs in chunks:
+        for bucket, hw_key, idxs in chunks:
             bb = _batch_bucket(len(idxs))
             batch = np.zeros((bb, bucket, self.cfg.frontend.lfr_dim),
                              np.float32)
             lens = [0] * bb   # padded rows have length 0 (mask empty)
+            hw_batch = hw_lens = None
+            if hw_key:
+                d_model = hw_embs[idxs[0]].shape[1]
+                hw_batch = np.zeros((bb, hw_key, d_model), np.float32)
+                hw_lens = [0] * bb
             for k, i in enumerate(idxs):
                 f = feats[i]
                 batch[k, : f.shape[0]] = f
                 lens[k] = f.shape[0]
-            out = self._forward(batch, lens, hw_emb)
+                if hw_key:
+                    hw = hw_embs[i]
+                    hw_batch[k, : hw.shape[0]] = hw
+                    hw_lens[k] = hw.shape[0]
+            out = self._forward(batch, lens, hw_batch, hw_lens)
             ids, counts = paraformer.greedy_ids(out)
             ids = np.asarray(ids)
             counts = np.asarray(counts)
+            any_lm = any(lm_for(i) is not None for i in idxs)
             logits_np = None
-            if self.lm_decoder is not None:
+            if any_lm:
                 logits_np = np.asarray(out.logits, np.float32)
             us_a_np = us_p_np = None
             if self.cfg.predictor.use_timestamp:
@@ -119,12 +167,13 @@ class ParaformerOffline:
             for k, i in enumerate(idxs):
                 n = int(counts[k])
                 tok_ids = [int(x) for x in ids[k, :n]]
-                if self.lm_decoder is not None and n > 0:
+                lm = lm_for(i)
+                lm_text = None
+                if lm is not None and n > 0:
                     rows = logits_np[k, :n]
                     rows = rows - _logsumexp_rows(rows)
-                    self.lm_decoder.start_utterance()
-                    lm_text = self.lm_decoder.decode(rows,
-                                                     self.vocab.id2token)
+                    lm.start_utterance()
+                    lm_text = lm.decode(rows, self.vocab.id2token)
                     if not self.cfg.predictor.use_timestamp:
                         results[i] = (lm_text, [])
                         continue
@@ -135,8 +184,15 @@ class ParaformerOffline:
                     _, _, token_ts = ts_mod.timestamp_from_peaks(
                         us_alphas, us_peak, list(char_list))
                     text, merged = ts_mod.post_process(char_list, token_ts)
-                    if self.lm_decoder is not None and n > 0:
-                        text = lm_text  # LM text with CIF timestamps
+                    if lm_text is not None and lm_text != text:
+                        # re-align CIF timestamps to the LM-rescored text
+                        # (the reference re-derives stamps through the
+                        # decoder path, wfst-decoder.cpp:59-92; we reuse
+                        # the ITN smoothing alignment)
+                        sm = ts_mod.timestamp_smooth(text, lm_text, merged)
+                        if sm:
+                            merged = sm
+                        text = lm_text
                     results[i] = (text, merged)
                 else:
                     results[i] = (self.vocab.to_string(tok_ids), [])
@@ -145,7 +201,7 @@ class ParaformerOffline:
     def recognize(self, samples: np.ndarray,
                   hw_emb: Optional[np.ndarray] = None
                   ) -> Tuple[str, List[List[float]]]:
-        return self.recognize_batch([samples], hw_emb)[0]
+        return self.recognize_batch([samples], hw_emb=hw_emb)[0]
 
 
 def _logsumexp_rows(x: np.ndarray) -> np.ndarray:

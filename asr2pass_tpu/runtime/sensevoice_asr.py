@@ -67,8 +67,14 @@ class SenseVoiceOffline:
                             skip_first=NUM_META)
         return ids
 
-    def recognize_batch(self, segments: List[np.ndarray], hw_emb=None
+    def recognize_batch(self, segments: List[np.ndarray], hw_emb=None,
+                        langs: Optional[List[Optional[str]]] = None,
+                        itn_flags: Optional[List[Optional[bool]]] = None
                         ) -> List[Tuple[str, list]]:
+        """langs[i]/itn_flags[i] override the recognizer-level svs_lang /
+        svs_itn per segment — the engine-batched path mixes connections
+        with different first-message configs in one batch (the lid/textnorm
+        prefix inputs, sensevoice-small.cpp:596-642)."""
         means, vars_ = self.cmvn
         feats = offline_frontend_batch(segments, self.cfg.frontend,
                                        means, vars_)
@@ -95,6 +101,14 @@ class SenseVoiceOffline:
                 batch[k, : feats[i].shape[0]] = feats[i]
                 lens[k] = feats[i].shape[0]
             lid, tn = self._meta_ids(bb)
+            for k, i in enumerate(idxs):
+                if langs is not None and langs[i] is not None:
+                    lid[k] = self.cfg.lid_dict.get(
+                        langs[i], self.cfg.lid_dict["auto"])
+                if itn_flags is not None and itn_flags[i] is not None:
+                    tn[k] = (self.cfg.textnorm_dict["withitn"]
+                             if itn_flags[i]
+                             else self.cfg.textnorm_dict["woitn"])
             out = sensevoice.apply_jit(
                 self.params, self.cfg, jnp.asarray(batch),
                 jnp.asarray(lens, jnp.int32), jnp.asarray(lid),

@@ -51,9 +51,12 @@ class ServerModels:
     svs_cfg: Any = None
     svs_vocab: Any = None
     svs_cmvn: Any = None
-    # optional n-gram LM rescoring (TLG role)
+    # optional n-gram LM rescoring (TLG role): either lm+lexicon (trie
+    # decoder) or tlg_dir (a compiled TLG.fst graph dir, the reference's
+    # artifact layout — FunASRWfstDecoderInit, funasrruntime.cpp:836-894)
     lm: Any = None
     lexicon: Any = None
+    tlg_dir: Any = None
     lm_weight: float = 0.5
     # server-side hotwords merged with per-connection ones
     server_hotwords: Any = None
@@ -77,6 +80,11 @@ class ServerModels:
         )
 
     def _make_lm_decoder(self, hotwords: Optional[dict] = None):
+        if self.tlg_dir is not None:
+            from asr2pass_tpu.decode.tlg import TlgDecoder
+
+            return TlgDecoder(self.tlg_dir, self.vocab.token2id,
+                              lm_weight=self.lm_weight, hotwords=hotwords)
         if self.lm is None or self.lexicon is None:
             return None
         # native C++ beam (14x the Python decoder on 60 s segments,

@@ -252,7 +252,13 @@ class AsrWsServer:
                            is_final: bool):
         if getattr(st, "engine_sid", None) is None:
             async with self._engine_lock:
-                st.engine_sid = self.engine.open()
+                st.engine_sid = self.engine.open(
+                    hw_emb=st.hw_emb,
+                    hotwords=getattr(st, "hotwords", None),
+                    use_itn=st.itn, svs_lang=st.svs_lang,
+                    svs_itn=st.svs_itn, vad_tail_sil=st.vad_tail_sil,
+                    vad_max_len=st.vad_max_len,
+                )
             self._engine_conns[st.engine_sid] = (ws, st)
         self.engine.feed(st.engine_sid, samples, is_final)
         if is_final:
@@ -270,36 +276,32 @@ class AsrWsServer:
                 async with self._engine_lock:
                     await loop.run_in_executor(self.executor,
                                                self.engine.step)
-                for sid, (ws, st) in list(self._engine_conns.items()):
-                    results = self.engine.poll(sid)
-                    for r in results:
-                        payload = {"text": r["text"], "mode": r["mode"],
-                                   "wav_name": st.wav_name,
-                                   "is_final": False}
-                        if "timestamp" in r:
-                            payload["timestamp"] = json.dumps(r["timestamp"])
-                            payload["stamp_sents"] = r.get("stamp_sents", [])
-                        try:
-                            await self._send(ws, payload)
-                        except Exception:
-                            pass
-                    if getattr(st, "engine_final", False):
-                        slot = self.engine.slots[sid]
-                        drained = (not slot.audio_in
-                                   and slot.pending_feats.shape[0] == 0
-                                   and not slot.seg_queue)
-                        if drained:
-                            st.engine_final = False
-                            try:
-                                await self._send(ws, {
-                                    "text": "", "mode": st.mode,
-                                    "wav_name": st.wav_name,
-                                    "is_final": True})
-                            except Exception:
-                                pass
-                await asyncio.sleep(0.005)
-            else:
-                await asyncio.sleep(0.02)
+            # results may also arrive from the async pass-2 lane while no
+            # tick work is pending — poll every iteration
+            for sid, (ws, st) in list(self._engine_conns.items()):
+                results = self.engine.poll(sid)
+                for r in results:
+                    payload = {"text": r["text"], "mode": r["mode"],
+                               "wav_name": st.wav_name,
+                               "is_final": False}
+                    if "timestamp" in r:
+                        payload["timestamp"] = json.dumps(r["timestamp"])
+                        payload["stamp_sents"] = r.get("stamp_sents", [])
+                    try:
+                        await self._send(ws, payload)
+                    except Exception:
+                        pass
+                if getattr(st, "engine_final", False) \
+                        and self.engine.drained(sid):
+                    st.engine_final = False
+                    try:
+                        await self._send(ws, {
+                            "text": "", "mode": st.mode,
+                            "wav_name": st.wav_name,
+                            "is_final": True})
+                    except Exception:
+                        pass
+            await asyncio.sleep(0.005 if has_work else 0.02)
 
     async def handler(self, ws):
         st = ConnectionState()
@@ -329,7 +331,8 @@ class AsrWsServer:
             from asr2pass_tpu.runtime.engine import StreamEngine
 
             self.engine = StreamEngine(self.models,
-                                       capacity=self.engine_capacity)
+                                       capacity=self.engine_capacity,
+                                       pass2_async=True)
             await asyncio.get_running_loop().run_in_executor(
                 self.executor, self.engine.warmup)
             self._engine_lock = asyncio.Lock()

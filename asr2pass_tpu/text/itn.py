@@ -8,8 +8,12 @@ rule engine over the same categories — spelled-out Chinese numerals are
 rewritten to digits in context: dates, times, fractions, percents, money,
 measures, plain cardinals/decimals, and digit-string readings (幺=1).
 
-The native/ C++ FST runtime can load real .fst models where exact
-WeTextProcessing parity is required; this module is the default.
+Where exact WeTextProcessing parity is required, `FstITN` (below) loads
+the compiled OpenFST grammars existing deployments ship —
+zh_itn_tagger.fst / zh_itn_verbalizer.fst (com-define.h:76-80) — through
+the native FST runtime (native/src/fst.cc) and runs the same
+tag -> token-reorder -> verbalize pipeline; `ChineseITN` (the rule engine)
+is the artifact-free default.
 """
 from __future__ import annotations
 
@@ -263,3 +267,119 @@ class ChineseITN:
             out = re.sub(
                 "\x00(\\d+)\x01", lambda m: shielded[int(m.group(1))], out)
         return out
+
+
+# ---------------------------------------------------------------------------
+# FST-backed ITN: loads the compiled WeTextProcessing grammars the
+# reference uses (itn-processor.cpp:31-87 pipeline).
+# ---------------------------------------------------------------------------
+
+ITN_ORDERS = {
+    "date": ["year", "month", "day"],
+    "fraction": ["sign", "numerator", "denominator"],
+    "measure": ["numerator", "denominator", "value"],
+    "money": ["currency", "value"],
+    "time": ["hour", "minute", "second", "noon"],
+}
+TN_ORDERS = {
+    "date": ["year", "month", "day"],
+    "fraction": ["denominator", "numerator"],
+    "measure": ["denominator", "numerator", "value"],
+    "money": ["value", "currency"],
+    "time": ["noon", "hour", "minute", "second"],
+}
+_KEY_CHARS = set("abcdefghijklmnopqrstuvwxyz"
+                 "ABCDEFGHIJKLMNOPQRSTUVWXYZ_")
+
+
+def reorder_tagged_tokens(tagged: str, orders=None) -> str:
+    """Parse `name { key: "value" ... }` records emitted by the tagger and
+    re-serialize each with its category's canonical field order — the
+    TokenParser::reorder step between tagging and verbalization
+    (itn-token-parser.cpp:25-45 semantics, re-implemented)."""
+    if orders is None:
+        orders = ITN_ORDERS
+    i, n = 0, len(tagged)
+    out_tokens = []
+    while i < n:
+        while i < n and tagged[i] == " ":
+            i += 1
+        if i >= n:
+            break
+        # token name
+        j = i
+        while j < n and tagged[j] in _KEY_CHARS:
+            j += 1
+        name = tagged[i:j]
+        i = j
+        while i < n and tagged[i] in " {":
+            i += 1
+        fields = []          # (key, value) in appearance order
+        while i < n:
+            while i < n and tagged[i] == " ":
+                i += 1
+            if i < n and tagged[i] == "}":
+                i += 1
+                break
+            j = i
+            while j < n and tagged[j] in _KEY_CHARS:
+                j += 1
+            key = tagged[i:j]
+            i = j
+            while i < n and tagged[i] in ': "':
+                i += 1
+                if tagged[i - 1] == '"':
+                    break
+            j = i
+            val = []
+            while j < n and tagged[j] != '"':
+                if tagged[j] == "\\" and j + 1 < n:
+                    val.append(tagged[j])
+                    j += 1
+                val.append(tagged[j])
+                j += 1
+            i = j + 1
+            fields.append((key, "".join(val)))
+        members = dict(fields)
+        order = orders.get(name, [k for k, _ in fields])
+        parts = [f'{k}: "{members[k]}"' for k in order if k in members]
+        out_tokens.append(f"{name} {{ {' '.join(parts)} }}")
+    return " ".join(out_tokens)
+
+
+class FstITN:
+    """ITN through compiled tagger/verbalizer FSTs — byte-level compose +
+    shortest path exactly like the reference runtime (itn-processor.cpp:
+    53-87): Normalize(x) = verbalize(reorder(tag(x))).
+
+    Accepts the reference's artifact names (zh_itn_tagger.fst /
+    zh_itn_verbalizer.fst) or any WeTextProcessing export; `kind` follows
+    the reference's `_tn_`/`_itn_` filename convention when not given."""
+
+    def __init__(self, tagger_path: str, verbalizer_path: str,
+                 kind: Optional[str] = None):
+        from asr2pass_tpu.native.bindings import NativeFst
+
+        self.tagger = NativeFst(tagger_path)
+        self.verbalizer = NativeFst(verbalizer_path)
+        if kind is None:
+            kind = "tn" if "_tn_" in tagger_path else "itn"
+        self.orders = TN_ORDERS if kind == "tn" else ITN_ORDERS
+        self.enable = True
+
+    def _compose(self, fst, text: str) -> Optional[str]:
+        labels = list(text.encode("utf-8"))
+        out = fst.transduce(labels)
+        if out is None:
+            return None
+        return bytes(b & 0xFF for b in out).decode("utf-8", "replace")
+
+    def normalize(self, text: str) -> str:
+        if not text:
+            return text
+        tagged = self._compose(self.tagger, text)
+        if not tagged:
+            return text          # no tagger path accepts -> unchanged
+        reordered = reorder_tagged_tokens(tagged, self.orders)
+        out = self._compose(self.verbalizer, reordered)
+        return out if out is not None else text

@@ -248,11 +248,107 @@ def convert_vad_state_dict(sd: Dict[str, np.ndarray]) -> dict:
     }
 
 
+def convert_punc_state_dict(sd: Dict[str, np.ndarray]) -> dict:
+    """FunASR CTTransformer state dict (embed + SANMEncoder + linear
+    'decoder' head) -> models/ct_transformer.py params."""
+    import jax
+    import jax.numpy as jnp
+
+    def stack(layers: List[dict]):
+        return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x)
+                                                   for x in xs]), *layers)
+
+    n_enc = 1 + len({m.group(1) for k in sd
+                     if (m := re.match(r"encoder\.encoders\.(\d+)\.", k))})
+    rest = [_att_layer(sd, f"encoder.encoders.{i}")
+            for i in range(n_enc - 1)]
+    return {
+        "embed": {"table": jnp.asarray(sd["embed.weight"])},
+        "encoder": {
+            "first": jax.tree.map(jnp.asarray,
+                                  _att_layer(sd, "encoder.encoders0.0")),
+            "rest": stack(rest) if rest else None,
+            "after_norm": {"g": jnp.asarray(sd["encoder.after_norm.weight"]),
+                           "b": jnp.asarray(sd["encoder.after_norm.bias"])},
+        },
+        "out": {"w": _t(sd["decoder.weight"]),
+                "b": np.asarray(sd["decoder.bias"])},
+    }
+
+
+def convert_sensevoice_state_dict(sd: Dict[str, np.ndarray]) -> dict:
+    """FunASR SenseVoiceSmall state dict -> models/sensevoice.py params.
+
+    Layout: shared meta-query embedding table `embed.weight` (rows = lid /
+    event(1) / emo(2) / textnorm ids), SenseVoiceEncoderSmall
+    (encoders0/encoders/after_norm + tp_encoders/tp_norm), ctc.ctc_lo head
+    — the graph the reference drives at sensevoice-small.cpp:596-642."""
+    import jax
+    import jax.numpy as jnp
+
+    def stack(layers: List[dict]):
+        return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x)
+                                                   for x in xs]), *layers)
+
+    n_enc = 1 + len({m.group(1) for k in sd
+                     if (m := re.match(r"encoder\.encoders\.(\d+)\.", k))})
+    n_tp = len({m.group(1) for k in sd
+                if (m := re.match(r"encoder\.tp_encoders\.(\d+)\.", k))})
+    rest = [_att_layer(sd, f"encoder.encoders.{i}")
+            for i in range(n_enc - 1)]
+    table = jnp.asarray(sd["embed.weight"])
+    params = {
+        "encoder": {
+            "first": jax.tree.map(jnp.asarray,
+                                  _att_layer(sd, "encoder.encoders0.0")),
+            "rest": stack(rest) if rest else None,
+            "after_norm": {"g": jnp.asarray(sd["encoder.after_norm.weight"]),
+                           "b": jnp.asarray(sd["encoder.after_norm.bias"])},
+        },
+        # one shared table in FunASR; our model indexes lid/tn by raw id
+        # and keeps the two fixed event/emo query rows separately
+        "lid_embed": table,
+        "tn_embed": table,
+        "query_embed": table[jnp.asarray([1, 2])],
+        "ctc": {"w": _t(sd["ctc.ctc_lo.weight"]),
+                "b": np.asarray(sd["ctc.ctc_lo.bias"])},
+    }
+    if n_tp:
+        params["tp"] = {
+            "rest": stack([_att_layer(sd, f"encoder.tp_encoders.{i}")
+                           for i in range(n_tp)]),
+            "norm": {"g": jnp.asarray(sd["encoder.tp_norm.weight"]),
+                     "b": jnp.asarray(sd["encoder.tp_norm.bias"])},
+        }
+    return params
+
+
+CONVERTERS = {
+    "asr": convert_state_dict,
+    "vad": convert_vad_state_dict,
+    "punc": convert_punc_state_dict,
+    "sensevoice": convert_sensevoice_state_dict,
+}
+
+
+def _guess_kind(sd: Dict[str, np.ndarray]) -> str:
+    if "encoder.in_linear1.linear.weight" in sd:
+        return "vad"
+    if "ctc.ctc_lo.weight" in sd:
+        return "sensevoice"
+    if "decoder.weight" in sd and "embed.weight" in sd:
+        return "punc"
+    return "asr"
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("src", help="FunASR model dir (model.pt or model.onnx, "
                                "config.yaml, am.mvn, tokens.json)")
     p.add_argument("dst", help="output model dir")
+    p.add_argument("--kind", choices=sorted(CONVERTERS) + ["auto"],
+                   default="auto",
+                   help="model family (default: detect from tensor names)")
     args = p.parse_args(argv)
 
     pt = os.path.join(args.src, "model.pt")
@@ -273,7 +369,9 @@ def main(argv=None):
         # strip any export prefix and trailing const-folding suffixes
         sd = {k.removeprefix("onnx::").split("::")[0]: v
               for k, v in sd.items()}
-    params = convert_state_dict(sd)
+    kind = _guess_kind(sd) if args.kind == "auto" else args.kind
+    print(f"converting as kind={kind}")
+    params = CONVERTERS[kind](sd)
 
     import shutil
 

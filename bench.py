@@ -99,7 +99,7 @@ def bench_engine(args):
         vad_cfg=VadConfig(),
     )
     s = args.streams
-    eng = StreamEngine(models, capacity=s)
+    eng = StreamEngine(models, capacity=s, pass2_async=args.pass2_async)
     eng.warmup()
     sids = [eng.open() for _ in range(s)]
     rng = np.random.default_rng(0)
@@ -107,11 +107,18 @@ def bench_engine(args):
     # and pass-2 segments actually fire
     tick_s = 0.6  # one online chunk of audio per stream per tick
     n_tick = int(16000 * tick_s)
+    # adversarial load (SURVEY §7 "latency vs batching tension"): half the
+    # streams play continuous speech, so max_single_segment-length segments
+    # keep hitting pass-2 while the rest stream normally — pass-1 tick p95
+    # must hold its cadence (the async lane's whole purpose)
+    n_adv = s // 2 if args.adversarial else 0
 
     def make_tick(k):
         x = rng.standard_normal((s, n_tick)).astype(np.float32) * 0.05
         if k % 8 < 5:
             x *= 6.0  # speech burst
+        if n_adv:
+            x[:n_adv] = np.abs(x[:n_adv]) * 6.0 + 0.1   # always speech
         return x
 
     warm_ticks, ticks = 4, args.iters
@@ -120,15 +127,25 @@ def bench_engine(args):
         for j, sid in enumerate(sids):
             eng.feed(sid, x[j])
         eng.step()
+    tick_ms = []
     start = time.perf_counter()
     for k in range(ticks):
         x = make_tick(warm_ticks + k)
         for j, sid in enumerate(sids):
             eng.feed(sid, x[j])
+        t0 = time.perf_counter()
         eng.step()
+        tick_ms.append((time.perf_counter() - t0) * 1e3)
+        for sid in sids:
+            eng.poll(sid)
+    # drain the async pass-2 lane so its device time is charged to the run
+    deadline = time.time() + 120
+    while (not all(eng.drained(sid) for sid in sids)
+           and time.time() < deadline):
+        time.sleep(0.005)
+        for sid in sids:
+            eng.poll(sid)
     elapsed = time.perf_counter() - start
-    for sid in sids:
-        eng.poll(sid)
     per_tick = elapsed / ticks
     sustainable = s * tick_s / per_tick
     print(json.dumps({
@@ -137,6 +154,11 @@ def bench_engine(args):
         "unit": "streams",
         # BASELINE config: 64 concurrent streams per chip
         "vs_baseline": round(sustainable / 64.0, 2),
+        # pass-1 partial cadence under load: tick p50/p95 (budget 600 ms)
+        "p1_tick_p50_ms": round(float(np.percentile(tick_ms, 50)), 1),
+        "p1_tick_p95_ms": round(float(np.percentile(tick_ms, 95)), 1),
+        "pass2_async": bool(args.pass2_async),
+        "adversarial": bool(args.adversarial),
     }))
     return 0
 
@@ -201,6 +223,13 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="int8 weight+activation quantized serving path")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--pass2-async", action="store_true", default=True,
+                    help="pass-2 on the background lane (serving default)")
+    ap.add_argument("--pass2-sync", dest="pass2_async",
+                    action="store_false")
+    ap.add_argument("--adversarial", action="store_true",
+                    help="half the streams play continuous speech "
+                         "(long-segment pass-2 load)")
     args = ap.parse_args()
 
     if args.cpu:

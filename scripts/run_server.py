@@ -23,9 +23,18 @@ def main():
     p.add_argument("--online-model-dir", help="streaming model directory")
     p.add_argument("--vad-dir", help="VAD model directory")
     p.add_argument("--punc-dir", help="punctuation model directory")
-    p.add_argument("--lm-dir", help="n-gram LM dir (lm.arpa + lexicon.txt, "
-                                    "see tools/build_lm.py)")
+    p.add_argument("--lm-dir", help="n-gram LM dir: either a compiled "
+                                    "TLG graph (TLG.fst + words.txt + "
+                                    "tokens.txt, the reference artifact "
+                                    "layout / tools/build_tlg.py) or "
+                                    "lm.arpa + lexicon.txt "
+                                    "(tools/build_lm.py)")
     p.add_argument("--lm-weight", type=float, default=0.5)
+    p.add_argument("--itn-tagger", help="compiled ITN tagger FST (the "
+                                        "reference's zh_itn_tagger.fst)")
+    p.add_argument("--itn-verbalizer",
+                   help="compiled ITN verbalizer FST "
+                        "(zh_itn_verbalizer.fst)")
     p.add_argument("--itn", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="ITN on finals (default on, like the reference's "
@@ -103,14 +112,24 @@ def main():
             models.punc_tokenizer = PuncTokenizer.from_file(
                 os.path.join(args.punc_dir, "tokens.json"))
     if getattr(args, "lm_dir", None):
-        from asr2pass_tpu.decode.lm_decoder import Lexicon
-        from asr2pass_tpu.decode.ngram import NgramLM
+        if os.path.exists(os.path.join(args.lm_dir, "TLG.fst")):
+            # compiled decoding-graph artifacts (reference layout)
+            models.tlg_dir = args.lm_dir
+        else:
+            from asr2pass_tpu.decode.lm_decoder import Lexicon
+            from asr2pass_tpu.decode.ngram import NgramLM
 
-        models.lm = NgramLM.load_arpa(os.path.join(args.lm_dir, "lm.arpa"))
-        models.lexicon = Lexicon.from_file(
-            os.path.join(args.lm_dir, "lexicon.txt"))
+            models.lm = NgramLM.load_arpa(
+                os.path.join(args.lm_dir, "lm.arpa"))
+            models.lexicon = Lexicon.from_file(
+                os.path.join(args.lm_dir, "lexicon.txt"))
         models.lm_weight = args.lm_weight
-    if args.itn:
+    if getattr(args, "itn_tagger", None) and \
+            getattr(args, "itn_verbalizer", None):
+        from asr2pass_tpu.text.itn import FstITN
+
+        models.itn = FstITN(args.itn_tagger, args.itn_verbalizer)
+    elif args.itn:
         from asr2pass_tpu.text.itn import ChineseITN
 
         models.itn = ChineseITN()

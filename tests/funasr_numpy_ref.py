@@ -279,41 +279,169 @@ def paraformer_forward(sd, feats, *, d_model, enc_blocks, dec_blocks,
     return logits, ac.shape[0], us_alphas, us_peaks
 
 
+# ---------------------------------------------------------------------------
+# CT-Transformer punctuation (FunASR CTTransformer)
+# ---------------------------------------------------------------------------
+
+def punc_forward(sd, ids, d_model, n_blocks, heads, kernel):
+    """ids [T] -> [T, n_classes]. embed -> SANMEncoder -> linear decoder
+    (the punc ONNX contract, ct-transformer.cpp:162-204)."""
+    x = np.asarray(sd["embed.weight"])[ids]
+    h = encoder_forward(sd, x, d_model, n_blocks, heads, kernel)
+    return _linear(sd, "decoder", h)
+
+
+# ---------------------------------------------------------------------------
+# SenseVoice-Small (FunASR SenseVoiceSmall)
+# ---------------------------------------------------------------------------
+
+def sensevoice_forward(sd, feats, lid, tn, d_model, blocks, tp_blocks,
+                       heads, kernel):
+    """feats [T, d_in] + meta ids -> CTC logits [4+T, V]. Query order
+    [language, event(1), emo(2), textnorm | frames]; main encoder then
+    tp_encoders + tp_norm feed ctc_lo (sensevoice-small.cpp:596-642)."""
+    emb = np.asarray(sd["embed.weight"])
+    x = np.concatenate([emb[[lid]], emb[[1]], emb[[2]], emb[[tn]], feats], 0)
+    h = encoder_forward(sd, x, d_model, blocks, heads, kernel)
+    for i in range(tp_blocks):
+        pfx = f"encoder.tp_encoders.{i}"
+        a = _sanm_self_attn(
+            sd, pfx, _ln(h, sd[f"{pfx}.norm1.weight"],
+                         sd[f"{pfx}.norm1.bias"]), heads, kernel)
+        h = h + a
+        h = h + _ffn(sd, pfx, _ln(h, sd[f"{pfx}.norm2.weight"],
+                                  sd[f"{pfx}.norm2.bias"]))
+    h = _ln(h, sd["encoder.tp_norm.weight"], sd["encoder.tp_norm.bias"])
+    return _linear(sd, "ctc.ctc_lo", h)
+
+
+def make_sensevoice_state_dict(rng, *, d_in, d_model, blocks, tp_blocks,
+                               ffn_dim, vocab, n_meta=16, kernel=11):
+    b = _SdBuilder(rng)
+    b.sd["embed.weight"] = b.w(n_meta, d_in)
+    b.add_encoder(d_in, d_model, blocks, ffn_dim, kernel)
+    for i in range(tp_blocks):
+        b.add_enc_layer(f"encoder.tp_encoders.{i}", d_model, d_model,
+                        ffn_dim, kernel)
+    b.add_ln("encoder.tp_norm", d_model)
+    b.add_linear("ctc.ctc_lo", vocab, d_model)
+    return b.sd
+
+
+# ---------------------------------------------------------------------------
+# FSMN-VAD (FunASR FsmnVadStreaming encoder = FSMN)
+# ---------------------------------------------------------------------------
+
+def vad_forward(sd, feats):
+    """feats [T, input_dim] -> posteriors [T, output_dim]. FunASR FSMN
+    forward: in_linear1 -> in_linear2 -> relu -> N x (LinearTransform ->
+    Fsmn(causal depthwise conv, inner residual) -> AffineTransform -> relu,
+    plain Sequential, no outer residual) -> out_linear1 -> out_linear2 ->
+    softmax. The ONNX the reference drives at fsmn-vad.cpp:72-135."""
+    x = _linear(sd, "encoder.in_linear2.linear",
+                _linear(sd, "encoder.in_linear1.linear", feats))
+    x = np.maximum(x, 0.0)
+    n = 0
+    while f"encoder.fsmn.{n}.0.linear.weight" in sd:
+        p = x @ np.asarray(sd[f"encoder.fsmn.{n}.0.linear.weight"]).T
+        taps = np.asarray(
+            sd[f"encoder.fsmn.{n}.1.conv_left.weight"])[:, 0, :, 0].T
+        lorder = taps.shape[0]
+        mem = p + _depthwise(p, taps, lorder - 1, 0)
+        x = np.maximum(_linear(sd, f"encoder.fsmn.{n}.2.linear", mem), 0.0)
+        n += 1
+    x = _linear(sd, "encoder.out_linear2.linear",
+                _linear(sd, "encoder.out_linear1.linear", x))
+    return _softmax(x)
+
+
+def make_vad_state_dict(rng, *, input_dim=40, affine_dim=14, linear_dim=25,
+                        proj_dim=12, layers=2, lorder=8, output_dim=10):
+    sd = {}
+
+    def add(pfx, dout, din, bias=True):
+        sd[f"{pfx}.linear.weight"] = (rng.standard_normal((dout, din))
+                                      * 0.4 / math.sqrt(din)
+                                      ).astype(np.float32)
+        if bias:
+            sd[f"{pfx}.linear.bias"] = (0.05 * rng.standard_normal(dout)
+                                        ).astype(np.float32)
+
+    add("encoder.in_linear1", affine_dim, input_dim)
+    add("encoder.in_linear2", linear_dim, affine_dim)
+    for i in range(layers):
+        add(f"encoder.fsmn.{i}.0", proj_dim, linear_dim, bias=False)
+        sd[f"encoder.fsmn.{i}.1.conv_left.weight"] = (
+            rng.standard_normal((proj_dim, 1, lorder, 1))
+            * 0.4 / math.sqrt(lorder)).astype(np.float32)
+        add(f"encoder.fsmn.{i}.2", linear_dim, proj_dim)
+    add("encoder.out_linear1", affine_dim, linear_dim)
+    add("encoder.out_linear2", output_dim, affine_dim)
+    return sd
+
+
+class _SdBuilder:
+    """Shared helpers for generating random torch-layout state dicts."""
+
+    def __init__(self, rng):
+        self.rng = rng
+        self.sd: Dict[str, np.ndarray] = {}
+
+    def w(self, *shape, s=0.3):
+        return (self.rng.standard_normal(shape) * s / math.sqrt(shape[-1])
+                ).astype(np.float32)
+
+    def add_ln(self, pfx, d):
+        self.sd[f"{pfx}.weight"] = (1.0 + 0.1 * self.rng.standard_normal(d)
+                                    ).astype(np.float32)
+        self.sd[f"{pfx}.bias"] = (0.1 * self.rng.standard_normal(d)
+                                  ).astype(np.float32)
+
+    def add_linear(self, pfx, dout, din, bias=True):
+        self.sd[f"{pfx}.weight"] = self.w(dout, din)
+        if bias:
+            self.sd[f"{pfx}.bias"] = (0.05 * self.rng.standard_normal(dout)
+                                      ).astype(np.float32)
+
+    def add_enc_layer(self, pfx, din, d_model, ffn_dim, kernel):
+        self.add_ln(f"{pfx}.norm1", din)
+        self.add_linear(f"{pfx}.self_attn.linear_q_k_v", 3 * d_model, din)
+        self.sd[f"{pfx}.self_attn.fsmn_block.weight"] = self.w(
+            d_model, 1, kernel)
+        self.add_linear(f"{pfx}.self_attn.linear_out", d_model, d_model)
+        self.add_ln(f"{pfx}.norm2", d_model)
+        self.add_linear(f"{pfx}.feed_forward.w_1", ffn_dim, d_model)
+        self.add_linear(f"{pfx}.feed_forward.w_2", d_model, ffn_dim)
+
+    def add_encoder(self, d_in, d_model, blocks, ffn_dim, kernel,
+                    pfx="encoder"):
+        self.add_enc_layer(f"{pfx}.encoders0.0", d_in, d_model, ffn_dim,
+                           kernel)
+        for i in range(blocks - 1):
+            self.add_enc_layer(f"{pfx}.encoders.{i}", d_model, d_model,
+                               ffn_dim, kernel)
+        self.add_ln(f"{pfx}.after_norm", d_model)
+
+
+def make_punc_state_dict(rng, *, vocab, d_model, blocks, ffn_dim,
+                         n_classes=6, kernel=11) -> Dict[str, np.ndarray]:
+    b = _SdBuilder(rng)
+    b.sd["embed.weight"] = b.w(vocab, d_model)
+    b.add_encoder(d_model, d_model, blocks, ffn_dim, kernel)
+    b.add_linear("decoder", n_classes, d_model)
+    return b.sd
+
+
 def make_state_dict(rng, *, d_in, d_model, enc_blocks, dec_blocks, ffn_dim,
                     vocab, enc_kernel=11, dec_kernel=11,
                     timestamp=False, hotword=False) -> Dict[str, np.ndarray]:
     """Random torch-layout FunASR Paraformer state dict (names exactly as
     torch.save would emit them for the FunASR module tree)."""
-    sd: Dict[str, np.ndarray] = {}
+    b = _SdBuilder(rng)
+    sd = b.sd
+    w, add_ln, add_linear = b.w, b.add_ln, b.add_linear
 
-    def w(*shape, s=0.3):
-        return (rng.standard_normal(shape) * s / math.sqrt(shape[-1])
-                ).astype(np.float32)
-
-    def add_ln(pfx, d):
-        sd[f"{pfx}.weight"] = (1.0 + 0.1 * rng.standard_normal(d)
-                               ).astype(np.float32)
-        sd[f"{pfx}.bias"] = (0.1 * rng.standard_normal(d)).astype(np.float32)
-
-    def add_linear(pfx, dout, din, bias=True):
-        sd[f"{pfx}.weight"] = w(dout, din)
-        if bias:
-            sd[f"{pfx}.bias"] = (0.05 * rng.standard_normal(dout)
-                                 ).astype(np.float32)
-
-    def add_enc_layer(pfx, din):
-        add_ln(f"{pfx}.norm1", din)
-        add_linear(f"{pfx}.self_attn.linear_q_k_v", 3 * d_model, din)
-        sd[f"{pfx}.self_attn.fsmn_block.weight"] = w(d_model, 1, enc_kernel)
-        add_linear(f"{pfx}.self_attn.linear_out", d_model, d_model)
-        add_ln(f"{pfx}.norm2", d_model)
-        add_linear(f"{pfx}.feed_forward.w_1", ffn_dim, d_model)
-        add_linear(f"{pfx}.feed_forward.w_2", d_model, ffn_dim)
-
-    add_enc_layer("encoder.encoders0.0", d_in)
-    for i in range(enc_blocks - 1):
-        add_enc_layer(f"encoder.encoders.{i}", d_model)
-    add_ln("encoder.after_norm", d_model)
+    b.add_encoder(d_in, d_model, enc_blocks, ffn_dim, enc_kernel)
 
     sd["predictor.cif_conv1d.weight"] = w(d_model, d_model, 3)
     sd["predictor.cif_conv1d.bias"] = (0.05 * rng.standard_normal(d_model)

@@ -112,6 +112,110 @@ def test_padded_batch_matches_solo():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_vad_conversion_parity():
+    """FunASR FSMN-VAD state dicts convert into models/fsmn_vad.py params
+    and reproduce the numpy forward, offline and in cached streaming steps
+    (the [1,128,19,1] ONNX cache contract, fsmn-vad.cpp:72-135)."""
+    from asr2pass_tpu.config import VadConfig
+    from asr2pass_tpu.models import fsmn_vad
+    from asr2pass_tpu.tools.convert_funasr import convert_vad_state_dict
+
+    from funasr_numpy_ref import make_vad_state_dict, vad_forward
+
+    rng = np.random.default_rng(4)
+    lorder, layers, proj = 8, 2, 12
+    sd = make_vad_state_dict(rng, lorder=lorder, layers=layers,
+                             proj_dim=proj)
+    feats = rng.standard_normal((30, 40)).astype(np.float32)
+    ref = vad_forward(sd, feats)
+
+    params = convert_vad_state_dict(sd)
+    cfg = VadConfig(input_dim=40, proj_dim=proj, fsmn_layers=layers,
+                    lorder=lorder, hidden_dim=25, output_dim=10,
+                    cache_frames=lorder - 1)
+    caches = fsmn_vad.init_caches(cfg, 1)
+    probs, _ = fsmn_vad.apply(params, jnp.asarray(feats[None]), caches)
+    np.testing.assert_allclose(np.asarray(probs[0]), ref,
+                               rtol=1e-5, atol=1e-6)
+    # streaming chunk steps == offline
+    caches = fsmn_vad.init_caches(cfg, 1)
+    outs = []
+    for s in range(0, 30, 10):
+        p, caches = fsmn_vad.apply(params,
+                                   jnp.asarray(feats[None, s:s + 10]),
+                                   caches)
+        outs.append(np.asarray(p[0]))
+    np.testing.assert_allclose(np.concatenate(outs), ref,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_punc_conversion_parity():
+    """FunASR CTTransformer state dicts convert into models/ct_transformer
+    params and reproduce the numpy forward (the punc ONNX contract,
+    ct-transformer.cpp:162-204)."""
+    from asr2pass_tpu.config import PuncConfig
+    from asr2pass_tpu.models import ct_transformer
+    from asr2pass_tpu.tools.convert_funasr import convert_punc_state_dict
+
+    from funasr_numpy_ref import make_punc_state_dict, punc_forward
+
+    rng = np.random.default_rng(5)
+    vocab, d, blocks, ffn = 50, 16, 3, 40
+    sd = make_punc_state_dict(rng, vocab=vocab, d_model=d, blocks=blocks,
+                              ffn_dim=ffn, kernel=ENC_K)
+    ids = rng.integers(1, vocab, 15)
+    ref = punc_forward(sd, ids, d, blocks, HEADS, ENC_K)
+
+    params = convert_punc_state_dict(sd)
+    cfg = PuncConfig(vocab_size=vocab, embed_dim=d, att_dim=d,
+                     num_blocks=blocks, attention_heads=HEADS,
+                     linear_units=ffn, kernel_size=ENC_K)
+    got = ct_transformer.apply(params, cfg, jnp.asarray(ids[None]),
+                               jnp.asarray([len(ids)], jnp.int32))
+    np.testing.assert_allclose(np.asarray(got[0]), ref,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got[0]).argmax(-1),
+                                  ref.argmax(-1))
+
+
+def test_sensevoice_conversion_parity():
+    """FunASR SenseVoiceSmall state dicts (incl. tp_encoders) convert and
+    reproduce the numpy forward (sensevoice-small.cpp:596-642 contract)."""
+    from asr2pass_tpu.config import EncoderConfig, SenseVoiceConfig
+    from asr2pass_tpu.models import sensevoice
+    from asr2pass_tpu.tools.convert_funasr import (
+        convert_sensevoice_state_dict,
+    )
+
+    from funasr_numpy_ref import make_sensevoice_state_dict, \
+        sensevoice_forward
+
+    rng = np.random.default_rng(6)
+    vocab, blocks, tp_blocks = 30, 3, 2
+    sd = make_sensevoice_state_dict(rng, d_in=D_IN, d_model=D,
+                                    blocks=blocks, tp_blocks=tp_blocks,
+                                    ffn_dim=FFN, vocab=vocab,
+                                    kernel=ENC_K)
+    feats = rng.standard_normal((12, D_IN)).astype(np.float32)
+    lid, tn = 3, 15
+    ref = sensevoice_forward(sd, feats, lid, tn, D, blocks, tp_blocks,
+                             HEADS, ENC_K)
+
+    params = convert_sensevoice_state_dict(sd)
+    cfg = SenseVoiceConfig(
+        encoder=EncoderConfig(input_size=D_IN, output_size=D,
+                              num_blocks=blocks, attention_heads=HEADS,
+                              linear_units=FFN, kernel_size=ENC_K),
+        vocab_size=vocab)
+    out = sensevoice.apply(params, cfg, jnp.asarray(feats[None]),
+                           jnp.asarray([12], jnp.int32),
+                           jnp.asarray([lid]), jnp.asarray([tn]))
+    np.testing.assert_allclose(np.asarray(out.logits[0]), ref,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(out.logits[0]).argmax(-1),
+                                  ref.argmax(-1))
+
+
 def test_hotword_compiler_conversion():
     """bias_encoder LSTM params convert into our hotword-compiler layout
     and reproduce the torch LSTM recurrence (model_eb role)."""

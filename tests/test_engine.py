@@ -219,3 +219,120 @@ def test_fused_vad_step_matches_reference_frontend(models):
     fused = np.concatenate(fused_probs)
     assert ref.shape == fused.shape
     np.testing.assert_allclose(fused, ref, atol=2e-5)
+
+
+@pytest.fixture(scope="module")
+def hw_models():
+    """Models with a hotword-capable decoder + ITN, for feature-parity
+    tests (the reference supports hotwords + per-request VAD config on
+    every connection, websocket-server-2pass.cpp:424-523)."""
+    from asr2pass_tpu.config import (DecoderConfig, EncoderConfig,
+                                     ParaformerConfig, PredictorConfig)
+    from asr2pass_tpu.text.itn import ChineseITN
+
+    acfg = ParaformerConfig(
+        encoder=EncoderConfig(input_size=560, output_size=64, num_blocks=2,
+                              attention_heads=2, linear_units=128),
+        decoder=DecoderConfig(num_blocks=2, attention_heads=2,
+                              linear_units=128),
+        predictor=PredictorConfig(idim=64),
+        vocab_size=64, use_hotword=True,
+    )
+    return ServerModels(
+        asr_params=paraformer.init(jax.random.PRNGKey(0), acfg),
+        asr_cfg=acfg,
+        vocab=make_test_vocab(acfg.vocab_size),
+        vad_params=fsmn_vad.init(jax.random.PRNGKey(1), VadConfig()),
+        vad_cfg=VadConfig(),
+        itn=ChineseITN(),
+    )
+
+
+def _drive_session(session, wave, step_ms=600):
+    """TwoPassSession reference results in engine poll() shape."""
+    out = []
+    step = int(16000 * step_ms / 1000)
+    for off in range(0, len(wave), step):
+        res = session.feed(wave[off: off + step],
+                           is_final=off + step >= len(wave))
+        if res.partial:
+            out.append({"mode": "2pass-online", "text": res.partial})
+        if res.final_text:
+            out.append({"mode": "2pass-offline", "text": res.final_text})
+    return out
+
+
+def _texts(results, mode):
+    return "".join(r["text"] for r in results if r["mode"] == mode)
+
+
+def test_engine_matches_session_with_hotwords_and_vad_overrides(hw_models):
+    """A hotworded, vad-tuned, itn-enabled connection produces the same
+    pass-1 and pass-2 text through the batched engine as through its own
+    TwoPassSession — engine-mode feature parity."""
+    rng = np.random.default_rng(7)
+    hw_emb = rng.standard_normal((3, 64)).astype(np.float32)
+    wave = _wave(9, seconds=2.5)
+    opts = dict(vad_tail_sil=500, vad_max_len=4000)
+
+    session = hw_models.create_session(mode="2pass", hw_emb=hw_emb,
+                                       use_itn=True, **opts)
+    ref = _drive_session(session, wave)
+
+    eng = StreamEngine(hw_models, capacity=4)
+    sid = eng.open(hw_emb=hw_emb, use_itn=True, **opts)
+    got = _drive(eng, sid, wave)
+
+    assert _texts(got, "2pass-online") == _texts(ref, "2pass-online")
+    assert _texts(got, "2pass-offline") == _texts(ref, "2pass-offline")
+    assert _texts(got, "2pass-offline")  # non-degenerate
+
+    # hotwords actually flow into pass-2: different embeddings, different
+    # result (the hotword cross-attention is live in the batched path)
+    eng2 = StreamEngine(hw_models, capacity=4)
+    sid2 = eng2.open(hw_emb=None, **opts)
+    got_nohw = _drive(eng2, sid2, wave)
+    assert (_texts(got_nohw, "2pass-offline")
+            != _texts(got, "2pass-offline"))
+
+
+def test_engine_per_slot_itn_flag(hw_models):
+    """st.itn=False must bypass the global ITN for that slot only."""
+    wave = _wave(11, seconds=1.5)
+    session = hw_models.create_session(mode="2pass", use_itn=False)
+    ref = _drive_session(session, wave)
+
+    eng = StreamEngine(hw_models, capacity=4)
+    a = eng.open(use_itn=False)
+    got = _drive(eng, a, wave)
+    assert _texts(got, "2pass-offline") == _texts(ref, "2pass-offline")
+
+
+def test_engine_async_pass2_lane(hw_models):
+    """pass2_async: segments decode on the background lane; results and
+    drained() converge to the sync behavior."""
+    import time
+
+    wave = _wave(13, seconds=2.0)
+    sync_eng = StreamEngine(hw_models, capacity=4)
+    s = sync_eng.open()
+    ref = _drive(sync_eng, s, wave)
+
+    eng = StreamEngine(hw_models, capacity=4, pass2_async=True)
+    sid = eng.open()
+    out = []
+    step = int(16000 * 0.6)
+    for off in range(0, len(wave), step):
+        eng.feed(sid, wave[off: off + step],
+                 is_final=off + step >= len(wave))
+        eng.step()
+        out.extend(eng.poll(sid))
+    deadline = time.time() + 30
+    while not eng.drained(sid) and time.time() < deadline:
+        eng.step()
+        out.extend(eng.poll(sid))
+        time.sleep(0.01)
+    out.extend(eng.poll(sid))
+    assert eng.drained(sid)
+    assert _texts(out, "2pass-online") == _texts(ref, "2pass-online")
+    assert _texts(out, "2pass-offline") == _texts(ref, "2pass-offline")

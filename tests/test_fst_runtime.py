@@ -1,0 +1,221 @@
+"""Native FST runtime: OpenFST-format round-trip, linear composition +
+shortest path, the FstITN tag->reorder->verbalize pipeline, and the TLG
+beam decoder — the machinery that lets reference deployments reuse their
+compiled artifacts (zh_itn_{tagger,verbalizer}.fst, TLG.fst; see
+onnxruntime/src/itn-processor.cpp:31-87, src/wfst-decoder.cpp:27-92)."""
+import math
+
+import numpy as np
+import pytest
+
+from asr2pass_tpu.decode.fst_io import FstBuilder, read_fst, write_vector_fst
+from asr2pass_tpu.native import bindings
+
+pytestmark = pytest.mark.skipif(not bindings.available(),
+                                reason="native lib not built")
+
+
+def _bytes(s: str):
+    return list(s.encode("utf-8"))
+
+
+def test_vector_fst_roundtrip(tmp_path):
+    b = FstBuilder()
+    end = b.add_string(b.start, [1, 2, 3], [7, 0, 9], w=0.25)
+    b.set_final(end, 0.5)
+    p = str(tmp_path / "t.fst")
+    b.write(p)
+    start, arcs, finals = read_fst(p)
+    assert start == b.start
+    assert sum(len(a) for a in arcs) == 3
+    assert finals[end] == 0.5
+    nf = bindings.NativeFst(p)
+    assert (nf.start, nf.num_states, nf.num_arcs) == (start, len(arcs), 3)
+
+
+def test_transduce_shortest_path_picks_lower_weight(tmp_path):
+    b = FstBuilder()
+    e1 = b.add_string(b.start, [5], [100], w=2.0)
+    b.set_final(e1)
+    e2 = b.add_string(b.start, [5], [200], w=1.0)
+    b.set_final(e2)
+    p = str(tmp_path / "w.fst")
+    b.write(p)
+    nf = bindings.NativeFst(p)
+    assert nf.transduce([5]) == [200]        # lower-weight path
+    assert nf.transduce([6]) is None         # no accepting path
+
+
+def test_transduce_epsilon_arcs(tmp_path):
+    b = FstBuilder()
+    mid = b.new_state()
+    b.add_arc(b.start, 0, 50, 0.0, mid)      # input-eps emits 50
+    end = b.add_string(mid, [9], [60])
+    b.set_final(end)
+    p = str(tmp_path / "e.fst")
+    b.write(p)
+    nf = bindings.NativeFst(p)
+    assert nf.transduce([9]) == [50, 60]
+
+
+def _linear_grammar(b: FstBuilder, inp: str, out: str, w=0.0):
+    end = b.add_string(b.start, _bytes(inp), _bytes(out), w)
+    b.set_final(end)
+
+
+def test_fst_itn_full_pipeline(tmp_path):
+    """tag -> reorder (ITN_ORDERS) -> verbalize, byte level — the exact
+    reference pipeline (itn-processor.cpp:53-87) on a toy grammar."""
+    from asr2pass_tpu.text.itn import FstITN
+
+    tagger = FstBuilder()
+    # tagger emits money fields in NON-canonical order; the reorder step
+    # must rewrite to ITN_ORDERS money = [currency, value]
+    _linear_grammar(tagger, "三块",
+                    'money { value: "3" currency: "¥" }')
+    tp = str(tmp_path / "toy_itn_tagger.fst")
+    tagger.write(tp)
+
+    verb = FstBuilder()
+    _linear_grammar(verb, 'money { currency: "¥" value: "3" }', "¥3")
+    vp = str(tmp_path / "toy_itn_verbalizer.fst")
+    verb.write(vp)
+
+    itn = FstITN(tp, vp)
+    assert itn.normalize("三块") == "¥3"
+    # tagger rejects -> input passes through unchanged
+    assert itn.normalize("你好") == "你好"
+
+
+def test_reorder_tagged_tokens():
+    from asr2pass_tpu.text.itn import reorder_tagged_tokens
+
+    tagged = ('time { minute: "三十" hour: "八" } '
+              'cardinal { value: "五" }')
+    got = reorder_tagged_tokens(tagged)
+    assert got == ('time { hour: "八" minute: "三十" } '
+                   'cardinal { value: "五" }')
+
+
+# ---------------------------------------------------------------------------
+# TLG beam decoder
+# ---------------------------------------------------------------------------
+
+def _toy_tlg(tmp_path):
+    """Tiny decoding graph: tokens {1:a, 2:b, 3:c}; words {1:AB, 2:C}.
+    Paths: a b -> AB (cost 0.1); c -> C (cost 0.3)."""
+    b = FstBuilder()
+    e1 = b.add_string(b.start, [1, 2], [1], w=0.1)
+    b.set_final(e1)
+    e2 = b.add_string(b.start, [3], [2], w=0.3)
+    b.set_final(e2)
+    # loop back for multi-word sentences via epsilon
+    b.add_arc(e1, 0, 0, 0.0, b.start)
+    b.add_arc(e2, 0, 0, 0.0, b.start)
+    p = str(tmp_path / "TLG.fst")
+    b.write(p)
+    return p
+
+
+def test_tlg_decoder_best_path_and_nbest(tmp_path):
+    p = _toy_tlg(tmp_path)
+    fst = bindings.NativeFst(p)
+    dec = bindings.NativeTlgFstDecoder(fst, beam=10.0, ac_scale=1.0,
+                                       lm_scale=1.0)
+    dec.start_utterance()
+    # frames prefer a, b, then c  (logp rows indexed by ilabel, 0 unused)
+    lp = math.log
+    dec.step(np.array([-99, lp(0.8), lp(0.1), lp(0.1)], np.float32))
+    dec.step(np.array([-99, lp(0.1), lp(0.8), lp(0.1)], np.float32))
+    dec.step(np.array([-99, lp(0.05), lp(0.05), lp(0.9)], np.float32))
+    res = dec.nbest(2)
+    assert res, "no hypotheses"
+    words, cost = res[0]
+    assert words == [1, 2]      # AB C
+    assert len(res) <= 2
+    if len(res) == 2:
+        assert res[1][1] >= cost
+
+
+def test_tlg_decoder_hotword_bias(tmp_path):
+    """The AC bias hook flips the decision for ambiguous frames — the
+    SetBiasLm role (kaldi lattice-faster-decoder.cc:803-815 hook)."""
+    b = FstBuilder()
+    e1 = b.add_string(b.start, [1], [1], w=0.0)
+    b.set_final(e1)
+    e2 = b.add_string(b.start, [2], [2], w=0.0)
+    b.set_final(e2)
+    p = str(tmp_path / "bias.fst")
+    b.write(p)
+    fst = bindings.NativeFst(p)
+
+    even = np.array([-99, math.log(0.45), math.log(0.55)], np.float32)
+
+    dec = bindings.NativeTlgFstDecoder(fst)
+    dec.start_utterance()
+    dec.step(even)
+    assert dec.nbest(1)[0][0] == [2]      # unbiased: slightly prefers 2
+
+    bias = bindings.NativeAcBias([[1]], [3.0])   # boost token 1
+    dec_b = bindings.NativeTlgFstDecoder(fst, bias=bias)
+    dec_b.start_utterance()
+    dec_b.step(even)
+    assert dec_b.nbest(1)[0][0] == [1]    # bias flips it
+
+
+def test_build_tlg_and_decode_matches_lm_decoder(tmp_path):
+    """tools/build_tlg compiles an ARPA LM + lexicon into a TLG.fst the
+    native beam decoder consumes; on unambiguous posteriors the decoded
+    text matches the trie LM decoder (decode/lm_decoder.py), proving the
+    two LM surfaces agree."""
+    from asr2pass_tpu.decode.lm_decoder import Lexicon, LmDecoder
+    from asr2pass_tpu.decode.ngram import NgramLM
+    from asr2pass_tpu.decode.tlg import TlgDecoder
+    from asr2pass_tpu.tools.build_tlg import build_tlg
+
+    sents = [list("你好世界"), list("你好朋友"), list("世界很大")] * 3
+    # word-level LM over 2-char words
+    word_sents = [["你好", "世界"], ["你好", "朋友"], ["世界", "很大"]] * 3
+    lm = NgramLM.train(word_sents, order=2)
+    words = sorted({w for s in word_sents for w in s})
+    word_units = {w: list(w) for w in words}
+    gdir = str(tmp_path / "graph")
+    build_tlg(lm, word_units, gdir)
+
+    chars = sorted({c for s in sents for c in s})
+    token2id = {c: i + 4 for i, c in enumerate(chars)}
+    token2id.update({"<blank>": 0, "<s>": 1, "</s>": 2, "<unk>": 3})
+    id2tok = {i: t for t, i in token2id.items()}
+    vocab_size = len(token2id)
+
+    def rows_for(text):
+        rows = np.full((len(text), vocab_size), np.log(1e-4), np.float32)
+        for i, ch in enumerate(text):
+            rows[i, token2id[ch]] = np.log(0.99)
+        return rows
+
+    tlg = TlgDecoder(gdir, token2id, lm_weight=0.5)
+    lex = Lexicon.from_words(words)
+    ref = LmDecoder(lm, lex, lm_weight=0.5)
+
+    for text in ("你好世界", "你好朋友", "世界很大"):
+        rows = rows_for(text)
+        tlg.start_utterance()
+        got = tlg.decode(rows)
+        ref.start_utterance()
+        want = ref.decode(rows, id2tok.get)
+        assert got == text
+        assert got == want
+
+    # nbest surface: ambiguous second word -> two hypotheses, best first
+    rows = rows_for("你好世界")
+    rows[2, token2id["朋"]] = np.log(0.5)
+    rows[3, token2id["友"]] = np.log(0.5)
+    rows[2, token2id["世"]] = np.log(0.45)
+    rows[3, token2id["界"]] = np.log(0.45)
+    tlg.start_utterance()
+    nb = tlg.decode_nbest(rows, 3)
+    assert len(nb) >= 2
+    texts = [t for t, _ in nb]
+    assert "你好朋友" in texts and "你好世界" in texts
+    assert nb[0][1] <= nb[1][1]
