@@ -16,9 +16,18 @@ import sys
 
 
 def filter_segments(recognizer, wave, fs: int, ref_texts=None,
+                    cross_recognizer=None,
                     max_ins_del: int = 2, max_cer: float = 0.30):
-    """Segment + transcribe + gate. ref_texts: optional list aligned to
-    segments (cross-check mode uses a second recognizer's output instead).
+    """Segment + transcribe + gate. Two gating sources:
+
+    * ref_texts: list aligned to segments (reference transcripts), or
+    * cross_recognizer: a SECOND model transcribes the same segments and
+      the primary hypothesis is gated against it — the reference's
+      WhisperX-vs-Paraformer two-model cross-check
+      (run_seg_asr_filter.sh:104-116); here typically SenseVoice vs
+      Paraformer.
+
+    Gates: insertions+deletions < max_ins_del and CER <= max_cer.
     Returns [(start_ms, end_ms, text, cer)] of kept segments."""
     from asr2pass_tpu.tools.compute_wer import score_pair
 
@@ -27,12 +36,21 @@ def filter_segments(recognizer, wave, fs: int, ref_texts=None,
     segs = res.segments
     seg_audio = [wave[s * fs // 1000: e * fs // 1000] for s, e in segs]
     outs = recognizer.asr.recognize_batch(seg_audio)
+    cross_texts = None
+    if cross_recognizer is not None:
+        cross_texts = [t for t, _ in
+                       cross_recognizer.asr.recognize_batch(seg_audio)]
     for i, ((text, _), (s, e)) in enumerate(zip(outs, segs)):
         dur = (e - s) / 1000.0
         if dur < 0.5 or dur > 40.0:   # duration gate (stage 3)
             continue
-        if ref_texts is not None and i < len(ref_texts):
-            _, line = score_pair(ref_texts[i], text)
+        gate = None
+        if cross_texts is not None:
+            gate = cross_texts[i]
+        elif ref_texts is not None and i < len(ref_texts):
+            gate = ref_texts[i]
+        if gate is not None:
+            _, line = score_pair(gate, text)
             ins_del = line["ins"] + line["del"]
             if ins_del >= max_ins_del or line["wer"] > max_cer:
                 continue
@@ -50,6 +68,11 @@ def main(argv=None):
     p.add_argument("--output-dir", required=True)
     p.add_argument("--ref-text", default="",
                    help="kaldi text file for CER gating")
+    p.add_argument("--cross-model-dir", default="",
+                   help="second-opinion model dir (e.g. a converted "
+                        "SenseVoice): segments are kept only when both "
+                        "models agree within the gates — the "
+                        "run_seg_asr_filter.sh two-model cross-check")
     p.add_argument("--fs", type=int, default=16000)
     args = p.parse_args(argv)
 
@@ -64,6 +87,15 @@ def main(argv=None):
         itn = False
 
     rec = build_recognizer(_A)
+    cross = None
+    if args.cross_model_dir:
+        class _B:
+            model_dir = args.cross_model_dir
+            vad_dir = args.vad_dir
+            punc_dir = ""
+            itn = False
+
+        cross = build_recognizer(_B)
     refs = load_trn(args.ref_text) if args.ref_text else {}
     os.makedirs(args.output_dir, exist_ok=True)
     with open(args.scp, encoding="utf-8") as scp, \
@@ -80,7 +112,8 @@ def main(argv=None):
                 else (os.path.basename(parts[0]), parts[0])
             wave = load_audio_file(path, args.fs)
             ref = [refs[name]] * 1000 if name in refs else None
-            kept = filter_segments(rec, wave, args.fs, ref_texts=ref)
+            kept = filter_segments(rec, wave, args.fs, ref_texts=ref,
+                                   cross_recognizer=cross)
             oscp.write(f"{name}\t{path}\n")
             for s, e, text, cer in kept:
                 utt = f"{name}_{s:08d}_{e:08d}"

@@ -63,3 +63,51 @@ def test_clipping_detector():
     x[:100] = 1.0
     assert clipping_ratio(x) == 0.1
     assert not passes_quality(x)
+
+
+def test_segment_filter_cross_model_gate():
+    """Two-model cross-check: segments kept only when the second model's
+    transcript agrees within ins+del<2 / CER<=30%
+    (run_seg_asr_filter.sh:104-116 gates)."""
+    import numpy as np
+
+    from asr2pass_tpu.tools.segment_filter import filter_segments
+
+    segs = [(0, 1000), (1200, 2400), (2600, 3600)]
+
+    class _Res:
+        segments = segs
+
+    class _Asr:
+        def __init__(self, texts):
+            self.texts = texts
+
+        def recognize_batch(self, seg_audio):
+            assert len(seg_audio) == len(self.texts)
+            return [(t, []) for t in self.texts]
+
+    class _Rec:
+        def __init__(self, texts):
+            self.asr = _Asr(texts)
+
+        def transcribe(self, wave):
+            return _Res()
+
+    primary = _Rec(["你好世界", "完全不同的句子", "再见了"])
+    cross = _Rec(["你好世界", "某个别的东西啊", "再见了"])
+    wave = np.zeros(16000 * 4, np.float32)
+    kept = filter_segments(primary, wave, 16000, cross_recognizer=cross)
+    kept_texts = [t for _, _, t, _ in kept]
+    assert kept_texts == ["你好世界", "再见了"]
+    # agreeing-with-typo case passes the 30% CER gate
+    primary2 = _Rec(["你好世界啊"])
+
+    class _Res1:
+        segments = [(0, 1000)]
+
+    primary2.transcribe = lambda wave: _Res1()
+    primary2.asr.texts = ["你好世界啊"]
+    cross2 = _Rec(["你好世界的"])
+    cross2.asr.recognize_batch = lambda sa: [("你好世界的", [])]
+    kept2 = filter_segments(primary2, wave, 16000, cross_recognizer=cross2)
+    assert len(kept2) == 1 and kept2[0][3] <= 0.30
