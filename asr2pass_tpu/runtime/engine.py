@@ -38,7 +38,11 @@ from asr2pass_tpu.text import timestamps as ts_mod
 from asr2pass_tpu.text.vocab import Vocab
 from asr2pass_tpu.vad.e2e_vad import E2EVadStateMachine, VadOptions
 
-_VAD_BUCKET = 72   # VAD feature rows per tick (64 frames staged + LFR/residual carry)
+def _vad_bucket(fcfg) -> int:
+    """Mel rows computed per fused-VAD tick: the engine stages up to
+    64*lfr_n mel frames of audio per slot per tick (one ~0.64 s chunk of
+    LFR rows), plus margin for the LFR/residual carry."""
+    return 64 * fcfg.lfr_n + 8
 
 
 @functools.lru_cache(maxsize=4)
@@ -57,7 +61,7 @@ def _fused_vad_step(fcfg, capacity: int, sil_pdf_ids=(0,)):
     by tests/test_engine.py's fused-vs-reference front-end test.
     """
     ex = get_extractor(fcfg)
-    nf = _VAD_BUCKET
+    nf = _vad_bucket(fcfg)
     need = fcfg.frame_length + (nf - 1) * fcfg.frame_shift
     left = (fcfg.lfr_m - 1) // 2
     hist_len = fcfg.lfr_m - 1
@@ -153,7 +157,6 @@ class StreamEngine:
         # fused VAD front-end+NN (one dispatch per tick); host-side window
         # counters + device-resident mel history ring
         fcfg = models.vad_cfg.frontend
-        assert fcfg.lfr_n == 1, "fused VAD path assumes LFR(m,1)"
         self._vad_step, self._vad_need = _fused_vad_step(
             fcfg, capacity, tuple(models.vad_cfg.sil_pdf_ids))
         vmeans, vvars = (models.vad_cmvn if models.vad_cmvn is not None
@@ -297,7 +300,7 @@ class StreamEngine:
         staged = []  # (sid, samples, is_final, buf, n_frames)
         # consume at most one VAD bucket of audio per slot per step —
         # a burst-feeding client (whole file then is_speaking:false) must
-        # not overflow the fixed [capacity, _VAD_BUCKET] feature batch;
+        # not overflow the fixed [capacity, _vad_bucket] feature batch;
         # leftovers stay queued and later steps drain them (the engine
         # loop keeps stepping while any slot has work)
         fcfg = m.vad_cfg.frontend

@@ -74,11 +74,21 @@ class AsrWsServer:
     def __init__(self, models: ServerModels, host: str = "0.0.0.0",
                  port: int = 10095, decode_workers: int = 1,
                  ssl_context=None, use_engine: bool = False,
-                 engine_capacity: int = 64):
+                 engine_capacity: int = 64,
+                 max_message_bytes: int = 16 << 20,
+                 max_upload_bytes: int = 256 << 20):
         self.models = models
         self.host = host
         self.port = port
         self.ssl_context = ssl_context
+        # upload size policy: cap a single websocket frame (websockets
+        # enforces it at the transport) and the per-connection offline
+        # upload buffer — the reference steps uploads through a bounded
+        # ring instead of buffering unbounded bytes; here oversize uploads
+        # get an error result and the buffer is dropped. 256 MB of s16
+        # PCM ≈ 2.3 h of 16 kHz audio.
+        self.max_message_bytes = max_message_bytes
+        self.max_upload_bytes = max_upload_bytes
         self.executor = ThreadPoolExecutor(max_workers=decode_workers)
         self._server = None
         # batched serving: one StreamEngine shared by all connections,
@@ -229,6 +239,16 @@ class AsrWsServer:
 
     async def _handle_binary(self, ws, st: ConnectionState, data: bytes):
         if st.mode == "offline":
+            if len(st.offline_buf) + len(data) > self.max_upload_bytes:
+                st.offline_buf.clear()
+                st.started = False
+                await self._send(ws, {
+                    "text": "", "mode": "offline",
+                    "wav_name": st.wav_name, "is_final": True,
+                    "error": "upload exceeds max_upload_bytes=%d"
+                             % self.max_upload_bytes,
+                })
+                return
             st.offline_buf.extend(data)
             return
         samples = load_pcm_bytes(data)
@@ -340,7 +360,7 @@ class AsrWsServer:
                 self._engine_loop())
         self._server = await websockets.serve(
             self.handler, self.host, self.port, ssl=self.ssl_context,
-            max_size=1 << 30,
+            max_size=self.max_message_bytes,
         )
         log.info("listening on %s:%d%s", self.host, self.port,
                  " (engine-batched)" if self.use_engine else "")

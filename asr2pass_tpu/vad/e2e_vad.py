@@ -115,7 +115,7 @@ class E2EVadStateMachine:
         self.frm_cnt = 0
         self.data_buf_start_frame = 0
         self.latest_confirmed_speech_frame = 0
-        self.lastest_confirmed_silence_frame = -1
+        self.latest_confirmed_silence_frame = -1
         self.continous_silence_frame_count = 0
         self.vad_state_machine = START_NOT_DETECTED
         self.confirmed_start_frame = -1
@@ -137,7 +137,7 @@ class E2EVadStateMachine:
     def _reset_detection(self):
         self.continous_silence_frame_count = 0
         self.latest_confirmed_speech_frame = 0
-        self.lastest_confirmed_silence_frame = -1
+        self.latest_confirmed_silence_frame = -1
         self.confirmed_start_frame = -1
         self.confirmed_end_frame = -1
         self.vad_state_machine = START_NOT_DETECTED
@@ -285,7 +285,7 @@ class E2EVadStateMachine:
             cur.contain_end = True
 
     def _on_silence_detected(self, t: int):
-        self.lastest_confirmed_silence_frame = t
+        self.latest_confirmed_silence_frame = t
         if self.vad_state_machine == START_NOT_DETECTED:
             self.data_buf_start_frame = max(self.data_buf_start_frame, t)
 
@@ -364,7 +364,7 @@ class E2EVadStateMachine:
                 if ((single_mode and self.continous_silence_frame_count * ms
                      > o.max_start_silence_time)
                         or (is_final_frame and self.number_end_time_detected == 0)):
-                    for f in range(self.lastest_confirmed_silence_frame + 1, t):
+                    for f in range(self.latest_confirmed_silence_frame + 1, t):
                         self._on_silence_detected(f)
                     self._on_voice_start(0, fake=True)
                     self._on_voice_end(0, fake=True, is_last=False)

@@ -47,6 +47,10 @@ def main():
                    help="batched StreamEngine serving (one jitted step "
                         "advances all connections)")
     p.add_argument("--engine-capacity", type=int, default=64)
+    p.add_argument("--max-message-mb", type=int, default=16,
+                   help="max websocket frame size (MB)")
+    p.add_argument("--max-upload-mb", type=int, default=256,
+                   help="max per-connection offline upload size (MB)")
     p.add_argument("--certfile", default="")
     p.add_argument("--keyfile", default="")
     p.add_argument("--demo", action="store_true",
@@ -160,7 +164,9 @@ def main():
     AsrWsServer(models, host=args.host, port=args.port,
                 decode_workers=args.decode_workers,
                 ssl_context=ssl_ctx, use_engine=args.engine,
-                engine_capacity=args.engine_capacity).run_forever()
+                engine_capacity=args.engine_capacity,
+                max_message_bytes=args.max_message_mb << 20,
+                max_upload_bytes=args.max_upload_mb << 20).run_forever()
 
 
 if __name__ == "__main__":

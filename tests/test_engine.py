@@ -142,22 +142,32 @@ def test_engine_burst_feed_no_overflow(models):
     assert final_text(out) == final_text(ref)
 
 
-def test_fused_vad_step_matches_reference_frontend(models):
+@pytest.mark.parametrize("lfr_m,lfr_n", [(5, 1), (5, 2), (7, 3)])
+def test_fused_vad_step_matches_reference_frontend(models, lfr_m, lfr_n):
     """The engine's fused fbank+LFR+CMVN+NN device step must emit exactly
     the posteriors of the reference path (StreamingFrontend.accept ->
     fsmn_vad.apply), across chunk boundaries, history-ring carries and the
-    final-tail clamp."""
+    final-tail clamp — including LFR(m,n) configs with n>1 (the bucket is
+    sized 64*lfr_n+8 so staging can never overflow it)."""
     import jax.numpy as jnp
 
+    from asr2pass_tpu.config import FrontendConfig
     from asr2pass_tpu.models import fsmn_vad
     from asr2pass_tpu.runtime.engine import _fused_vad_step
     from asr2pass_tpu.runtime.streaming_frontend import StreamingFrontend
 
-    cfg = models.vad_cfg
+    if (lfr_m, lfr_n) == (5, 1):
+        cfg = models.vad_cfg
+        params = models.vad_params
+    else:
+        cfg = VadConfig(
+            frontend=FrontendConfig(lfr_m=lfr_m, lfr_n=lfr_n),
+            input_dim=80 * lfr_m, proj_dim=32, fsmn_layers=2,
+            hidden_dim=48, output_dim=16)
+        params = fsmn_vad.init(jax.random.PRNGKey(3), cfg)
     fcfg = cfg.frontend
     capacity = 2
     step, need = _fused_vad_step(fcfg, capacity)
-    params = models.vad_params
     means = jnp.zeros(fcfg.lfr_dim, jnp.float32)
     vars_ = jnp.ones(fcfg.lfr_dim, jnp.float32)
 

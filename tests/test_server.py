@@ -199,3 +199,36 @@ def test_offline_recognizer_lm_plumbs_through(models):
     finally:
         models.lm = None
         models.lexicon = None
+
+
+def test_offline_upload_size_policy(models):
+    """Oversize offline uploads get an error final instead of unbounded
+    buffering (upload size policy; the reference bounds its ring too)."""
+    async def run_all():
+        import websockets
+
+        server = AsrWsServer(models, host="127.0.0.1", port=0,
+                             max_upload_bytes=32000)
+        srv = await server.serve()
+        port = srv.sockets[0].getsockname()[1]
+        try:
+            uri = f"ws://127.0.0.1:{port}"
+            async with websockets.connect(uri) as ws:
+                await ws.send(json.dumps({
+                    "mode": "offline", "wav_name": "big",
+                    "wav_format": "pcm", "is_speaking": True,
+                }))
+                pcm = _pcm(2.0)  # 64000 bytes > 32000 cap
+                for i in range(0, len(pcm), 16000):
+                    await ws.send(pcm[i: i + 16000])
+                msg = json.loads(
+                    await asyncio.wait_for(ws.recv(), timeout=30))
+            return msg
+        finally:
+            srv.close()
+            await srv.wait_closed()
+            server.executor.shutdown(wait=False)
+
+    msg = asyncio.run(run_all())
+    assert msg["is_final"] is True
+    assert "error" in msg and "max_upload_bytes" in msg["error"]
