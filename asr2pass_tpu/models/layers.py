@@ -60,6 +60,14 @@ def dense(p, x):
         if "b" in p:
             y = y + p["b"].astype(x.dtype)
         return y
+    if "w_q8" in p:
+        # weight-only int8 (w8a16): int8 weights stream from HBM and are
+        # dequantized on the fly; the matmul runs on the bf16 MXU path.
+        # Per-output-channel scale folds in after the matmul.
+        y = jnp.dot(x, p["w_q8"].astype(x.dtype)) * p["scale"].astype(x.dtype)
+        if "b" in p:
+            y = y + p["b"].astype(x.dtype)
+        return y
     y = jnp.dot(x, p["w"].astype(x.dtype))
     if "b" in p:
         y = y + p["b"].astype(x.dtype)

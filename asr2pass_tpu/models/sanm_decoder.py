@@ -38,13 +38,12 @@ variant the reference feeds `hw_emb` to (paraformer.cpp:515-532).
 """
 from __future__ import annotations
 
-import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-_SCAN = os.environ.get("ASR2PASS_SCAN_LAYERS", "0") == "1"
+from asr2pass_tpu.ops.attention import scan_layers
 
 from asr2pass_tpu.config import DecoderConfig
 from asr2pass_tpu.models.layers import (
@@ -157,7 +156,7 @@ def apply(params, ac_embeds, enc, enc_mask=None, mask=None,
         heads = cfg.attention_heads
     left = _fsmn_left(params, cfg)
 
-    if _SCAN:
+    if scan_layers():
         def body(x, layer):
             x, _ = _block(layer, x, enc, enc_mask, mask, heads,
                           fsmn_left=left)
@@ -189,7 +188,7 @@ def apply_streaming(params, ac_embeds, enc, caches,
     concatenated (tested). valid_len [B] gives the true token count per
     stream for padded chunks."""
 
-    if _SCAN:
+    if scan_layers():
         def body(x, layer_and_cache):
             layer, cache = layer_and_cache
             x, nc = _block(layer, x, enc, enc_mask, mask, heads,

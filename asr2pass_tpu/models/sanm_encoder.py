@@ -21,16 +21,16 @@ paths.
 from __future__ import annotations
 
 import math
-import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-# scan-over-layers halves HLO size but compiles ~3x slower through this
-# image's remote-compile toolchain; default is an unrolled loop over the
-# stacked params (same math, same sharding layout)
-_SCAN = os.environ.get("ASR2PASS_SCAN_LAYERS", "0") == "1"
+# scan-vs-unrolled over the stacked layer params (same math, same sharding
+# layout) is decided at trace time by ops.attention.scan_layers(): scan on
+# TPU when the Pallas attention kernel is active (one kernel call site),
+# unrolled otherwise (~3x faster compiles); ASR2PASS_SCAN_LAYERS overrides.
+from asr2pass_tpu.ops.attention import scan_layers
 
 from asr2pass_tpu.config import EncoderConfig
 from asr2pass_tpu.models.layers import (
@@ -97,7 +97,7 @@ def apply(params, feats, mask: Optional[jnp.ndarray] = None,
     x = _block(params["first"], x, mask, heads,
                residual=(d_in == d_model), att_mask=att_mask)
     if params["rest"] is not None:
-        if _SCAN:
+        if scan_layers():
             def body(x, layer):
                 return _block(layer, x, mask, heads, residual=True,
                               att_mask=att_mask), None

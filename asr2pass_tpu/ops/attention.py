@@ -25,6 +25,33 @@ BLOCK_Q = 128
 BLOCK_K = 128
 _NEG = -1e30
 
+# single-shot kernel: largest T whose full K/V + one [BLOCK_Q_SS, T] fp32
+# score slab comfortably fit VMEM (~16 MB/core)
+BLOCK_Q_SS = 256
+MAX_T_SS = 2048
+
+
+def _ss_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, sm_scale: float):
+    """Single-shot attention for one q block against the FULL key range.
+
+    At pass-2 shapes (T<=1024, d_head 128) all of K/V fits VMEM, so the
+    flash online-softmax rescaling (per-k-block exp/alpha/acc multiplies —
+    pure VPU overhead) is unnecessary: do ONE [BQ, T] score dot, one
+    masked softmax, one [BQ, T]x[T, D] context dot. K/V block specs are
+    invariant in the q-block grid axis so Mosaic keeps them resident.
+    """
+    q = q_ref[:]
+    s = jax.lax.dot_general(
+        q, k_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+    s = jnp.where(mask_ref[0, :][None, :] > 0, s, _NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    ctx = jnp.dot(p.astype(v_ref.dtype), v_ref[:],
+                  preferred_element_type=jnp.float32)
+    o_ref[:] = (ctx / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
 
 def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
             sm_scale: float):
@@ -63,8 +90,62 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
 def flash_attention(q, k, v, mask, interpret: bool = False):
     """q,k,v: [B, H, T, D]; mask: [B, T] (>0 valid). Returns [B, H, T, D].
 
+    Dispatches to the single-shot kernel when the full key range fits
+    VMEM (T <= MAX_T_SS), else the online-softmax flash kernel.
     Fully-masked query rows return 0 (matching the masked XLA path after
     output masking)."""
+    if q.shape[2] <= MAX_T_SS:
+        return _attention_ss(q, k, v, mask, interpret=interpret)
+    return _attention_flash(q, k, v, mask, interpret=interpret)
+
+
+def _attention_ss(q, k, v, mask, interpret: bool = False):
+    """Single-shot (non-online-softmax) attention; see _ss_kernel."""
+    b, h, t, d = q.shape
+    orig_t = t
+    pad = (-t) % BLOCK_Q_SS
+    if pad:
+        cfg = [(0, 0), (0, 0), (0, pad), (0, 0)]
+        q = jnp.pad(q, cfg)
+        k = jnp.pad(k, cfg)
+        v = jnp.pad(v, cfg)
+        mask = jnp.pad(mask, [(0, 0), (0, pad)])
+        t = t + pad
+    sm_scale = 1.0 / math.sqrt(d)
+    qf = q.reshape(b * h, t, d)
+    kf = k.reshape(b * h, t, d)
+    vf = v.reshape(b * h, t, d)
+    maskf = jnp.repeat(mask, h, axis=0)[:, None, :]  # [B*H, 1, T]
+
+    grid = (b * h, t // BLOCK_Q_SS)
+    out = pl.pallas_call(
+        functools.partial(_ss_kernel, sm_scale=sm_scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, BLOCK_Q_SS, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, t), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, BLOCK_Q_SS, d),
+                               lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, maskf)
+    out = out.reshape(b, h, t, d)
+    if pad:
+        out = out[:, :, :orig_t, :]
+    out = out * (mask[:, None, :orig_t, None] > 0)
+    return out
+
+
+def _attention_flash(q, k, v, mask, interpret: bool = False):
+    """Online-softmax flash kernel for T beyond VMEM capacity."""
     b, h, t, d = q.shape
     orig_t = t
     pad = (-t) % max(BLOCK_Q, BLOCK_K)
@@ -111,19 +192,39 @@ def flash_attention(q, k, v, mask, interpret: bool = False):
 import os
 
 # Opt-in: at the pass-2 shapes (T<=1024, d_head 128) XLA's fused batched
-# GEMM attention outperforms this kernel on v5e even with bf16 MXU dots
-# (measured: 7.5k XLA vs 3.6k flash audio-s/s/chip at b=16 — the per-
-# q-block [128,128] dots underutilize the MXU pipeline, while XLA batches
-# all (b,h) into large GEMMs). Profiling shows the encoder is matmul-
-# bound, not score-traffic-bound, at these shapes. The kernel pays off
-# for much longer sequences (sequence-parallel offline segments);
-# enable with ASR2PASS_FLASH_ATTENTION=1.
+# Stage profiling (scripts/profile_encoder.py, b=16 T=1000 d=512 bf16 on
+# v5e) showed attention costs ~68 ms/forward vs an ~8 ms FLOP estimate —
+# XLA's unfused path round-trips the [B,H,T,T] fp32 score tensor through
+# HBM (~256 MB/layer), so the encoder IS score-traffic-bound at serving
+# shapes. The single-shot VMEM kernel (_ss_kernel) removes that traffic
+# and lifted the offline bench 7.5k -> 9.4k audio-s/s/chip. The earlier
+# online-softmax flash kernel LOST to XLA (3.6k) because its per-k-block
+# exp/alpha/acc rescaling is pure VPU overhead; it remains only as the
+# fallback for T > MAX_T_SS. Default ON for TPU; disable with
+# ASR2PASS_FLASH_ATTENTION=0.
 _FLASH_ENV = "ASR2PASS_FLASH_ATTENTION"
+_SCAN_ENV = "ASR2PASS_SCAN_LAYERS"
+
+
+def flash_enabled() -> bool:
+    return os.environ.get(_FLASH_ENV, "1") == "1"
+
+
+def scan_layers() -> bool:
+    """Layer-stack tracing strategy. Honor ASR2PASS_SCAN_LAYERS if set;
+    otherwise scan on TPU when flash attention is enabled — scan keeps the
+    Pallas kernel to ONE call site (each site is a ~45 s tunnel compile
+    here, no dedupe), while unrolled loops compile ~3x faster when there
+    is no Pallas inside (the CPU/test default)."""
+    v = os.environ.get(_SCAN_ENV)
+    if v is not None:
+        return v == "1"
+    return flash_enabled() and jax.default_backend() == "tpu"
 
 
 def use_flash(t: int, d_head: int, att_mask) -> bool:
-    """Opt-in via env; long sequences, TPU backend, no custom mask."""
-    if os.environ.get(_FLASH_ENV, "0") != "1":
+    """Default-on for TPU; long sequences, no custom mask."""
+    if not flash_enabled():
         return False
     if att_mask is not None:
         return False

@@ -24,12 +24,19 @@ def force_cpu():
     jax.config.update("jax_platforms", "cpu")
 
 
-def quantize_params(tree):
+def quantize_params(tree, weight_only: bool = False):
     """Per-output-channel int8 weight quantization of every dense layer
     ({"w"[,"b"]} dicts). Stacked [L, in, out] weights quantize per
-    [L, out]. LayerNorm/embedding/conv leaves stay float. The int8 path in
-    layers.dense activates automatically on "w_q" presence."""
+    [L, out]. LayerNorm/embedding/conv leaves stay float.
+
+    weight_only=False stores "w_q": layers.dense runs the int8 MXU path
+    with dynamic per-row activation quantization (w8a8). weight_only=True
+    stores "w_q8": weights live in HBM as int8 (half of bf16 traffic) and
+    are dequantized on the fly into the bf16 MXU path (w8a16) — no
+    activation-quant VPU overhead, activations stay bf16."""
     import jax.numpy as jnp
+
+    key = "w_q8" if weight_only else "w_q"
 
     def walk(node, name=""):
         if isinstance(node, dict):
@@ -42,7 +49,7 @@ def quantize_params(tree):
                 scale = jnp.maximum(scale, 1e-12)
                 w_q = jnp.clip(jnp.round(w / scale), -127, 127
                                ).astype(jnp.int8)
-                out = {"w_q": w_q, "scale": jnp.squeeze(scale, axis=-2)}
+                out = {key: w_q, "scale": jnp.squeeze(scale, axis=-2)}
                 if "b" in node:
                     out["b"] = node["b"]
                 return out

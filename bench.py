@@ -222,6 +222,9 @@ def main():
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--int8", action="store_true",
                     help="int8 weight+activation quantized serving path")
+    ap.add_argument("--int8-weights", action="store_true",
+                    help="weight-only int8 (w8a16): int8 weights in HBM, "
+                         "bf16 activations/MXU")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--pass2-async", action="store_true", default=True,
                     help="pass-2 on the background lane (serving default)")
@@ -277,6 +280,8 @@ def main():
         p = paraformer.init(k, cfg)
         if args.int8:
             return quantize_params(cast_floats(p, dtype))
+        if args.int8_weights:
+            return quantize_params(cast_floats(p, dtype), weight_only=True)
         return cast_floats(p, dtype)
 
     dev_init = jax.jit(make)

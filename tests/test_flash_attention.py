@@ -19,8 +19,12 @@ def ref_attention(q, k, v, mask):
     return out * (mask[:, None, :, None] > 0)
 
 
+@pytest.mark.parametrize("impl", ["ss", "flash"])
 @pytest.mark.parametrize("t,lens", [(256, [256, 200]), (300, [300, 123])])
-def test_flash_matches_reference(t, lens):
+def test_flash_matches_reference(t, lens, impl):
+    from asr2pass_tpu.ops.attention import _attention_flash, _attention_ss
+
+    fn = _attention_ss if impl == "ss" else _attention_flash
     b, h, d = 2, 2, 64
     rng = np.random.default_rng(0)
     q = rng.standard_normal((b, h, t, d)).astype(np.float32)
@@ -31,9 +35,9 @@ def test_flash_matches_reference(t, lens):
         mask[i, :n] = 1.0
     ref = np.asarray(ref_attention(jnp.asarray(q), jnp.asarray(k),
                                    jnp.asarray(v), jnp.asarray(mask)))
-    got = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
-                                     jnp.asarray(v), jnp.asarray(mask),
-                                     interpret=True))
+    got = np.asarray(fn(jnp.asarray(q), jnp.asarray(k),
+                        jnp.asarray(v), jnp.asarray(mask),
+                        interpret=True))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
 
 

@@ -230,3 +230,21 @@ def test_int8_quantized_forward_agrees(tiny):
     ids1 = np.asarray(jnp.argmax(o1.logits, -1))[0, :min(n1, n2)]
     ids2 = np.asarray(jnp.argmax(o2.logits, -1))[0, :min(n1, n2)]
     assert (ids1 == ids2).mean() >= 0.9
+
+
+def test_int8_weight_only_forward_agrees(tiny):
+    """w8a16 (weight-only int8) path tracks fp32 even tighter than w8a8 —
+    activations never quantize, so logits stay close."""
+    from asr2pass_tpu.utils import quantize_params
+
+    cfg, params = tiny
+    qparams = quantize_params(params, weight_only=True)
+    rng = np.random.default_rng(7)
+    feats = rng.standard_normal((1, 24, cfg.encoder.input_size)).astype(np.float32)
+    o1 = paraformer.apply(params, cfg, jnp.asarray(feats), jnp.asarray([24]))
+    o2 = paraformer.apply(qparams, cfg, jnp.asarray(feats), jnp.asarray([24]))
+    n1, n2 = int(o1.token_num[0]), int(o2.token_num[0])
+    assert abs(n1 - n2) <= 1
+    ids1 = np.asarray(jnp.argmax(o1.logits, -1))[0, :min(n1, n2)]
+    ids2 = np.asarray(jnp.argmax(o2.logits, -1))[0, :min(n1, n2)]
+    assert (ids1 == ids2).mean() >= 0.9
