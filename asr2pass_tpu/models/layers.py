@@ -268,6 +268,14 @@ def cross_attention(p, x, mem, heads: int, mem_mask=None):
     k, v = jnp.split(kv, 2, axis=-1)
     d_k = q.shape[-1] // heads
     qh, kh, vh = (_split_heads(a, heads) for a in (q, k, v))
+    from asr2pass_tpu.ops.attention import (cross_flash_attention,
+                                            use_flash_cross)
+
+    if use_flash_cross(x.shape[1], mem.shape[1], d_k):
+        kv_mask = (mem_mask if mem_mask is not None
+                   else jnp.ones(mem.shape[:2], jnp.float32))
+        ctx = cross_flash_attention(qh, kh, vh, kv_mask)
+        return dense(p["out"], _merge_heads(ctx))
     scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh,
                         preferred_element_type=jnp.float32) / math.sqrt(d_k)
     if mem_mask is not None:

@@ -1,15 +1,22 @@
-"""Pallas flash attention for the SAN-M encoder's self-attention.
+"""Pallas attention kernels for the SAN-M encoder/decoder.
 
-The offline pass-2 encoder runs full attention over VAD segments up to
-~1024 LFR frames; unfused XLA attention materializes [B, H, T, T] fp32
-scores in HBM (4 MB per (b,h) at T=1024), making the op HBM-bound. This
-kernel computes the online-softmax attention blockwise in VMEM (the
-standard flash algorithm): q blocks stream against k/v blocks, carrying
-running (max, sum, acc) — no score matrix ever leaves VMEM.
+The offline pass-2 models run attention over VAD segments up to ~1024
+LFR frames; unfused XLA attention materializes [B, H, Tq, Tk] fp32
+scores in HBM (4 MB per (b,h) at T=1024), making the op HBM-bound —
+profiled at ~68 ms of a 112 ms encoder forward at serving shapes.
 
-Used automatically by models/layers.sanm_attention for long sequences on
+Three kernels:
+  _ss_kernel   — single-shot: one q block vs the FULL key range resident
+                 in VMEM; one dot, one softmax, one dot. The default for
+                 Tk <= MAX_T_SS, self- (flash_attention) and cross-
+                 (cross_flash_attention, decoder ac_embeds x enc) shapes.
+  _kernel      — classic online-softmax flash for Tk > MAX_T_SS (the
+                 per-k-block rescaling costs VPU time, so it is only the
+                 long-sequence fallback).
+
+Used automatically by models/layers.{sanm_attention,cross_attention} on
 TPU; the XLA path remains for CPU/short windows (the [5,10,5] streaming
-window is 20 frames — flash is pointless there).
+window is 20 frames — kernels are pointless there).
 """
 from __future__ import annotations
 
@@ -95,52 +102,70 @@ def flash_attention(q, k, v, mask, interpret: bool = False):
     Fully-masked query rows return 0 (matching the masked XLA path after
     output masking)."""
     if q.shape[2] <= MAX_T_SS:
-        return _attention_ss(q, k, v, mask, interpret=interpret)
+        return _attention_ss(q, k, v, mask, q_mask=mask,
+                             interpret=interpret)
     return _attention_flash(q, k, v, mask, interpret=interpret)
 
 
-def _attention_ss(q, k, v, mask, interpret: bool = False):
-    """Single-shot (non-online-softmax) attention; see _ss_kernel."""
-    b, h, t, d = q.shape
-    orig_t = t
-    pad = (-t) % BLOCK_Q_SS
-    if pad:
-        cfg = [(0, 0), (0, 0), (0, pad), (0, 0)]
-        q = jnp.pad(q, cfg)
-        k = jnp.pad(k, cfg)
-        v = jnp.pad(v, cfg)
-        mask = jnp.pad(mask, [(0, 0), (0, pad)])
-        t = t + pad
-    sm_scale = 1.0 / math.sqrt(d)
-    qf = q.reshape(b * h, t, d)
-    kf = k.reshape(b * h, t, d)
-    vf = v.reshape(b * h, t, d)
-    maskf = jnp.repeat(mask, h, axis=0)[:, None, :]  # [B*H, 1, T]
+def cross_flash_attention(q, k, v, kv_mask, interpret: bool = False):
+    """Single-shot cross-attention: q [B,H,Tq,D] against k/v [B,H,Tk,D]
+    with kv_mask [B,Tk]. Same HBM-traffic argument as self-attention —
+    the decoder's [B,H,Tq,Tk] fp32 score tensor never leaves VMEM.
+    Padded/invalid q rows are NOT zeroed (downstream token masks own
+    that, matching the XLA path in layers.cross_attention)."""
+    return _attention_ss(q, k, v, kv_mask, q_mask=None, interpret=interpret)
 
-    grid = (b * h, t // BLOCK_Q_SS)
+
+def _attention_ss(q, k, v, kv_mask, q_mask=None, interpret: bool = False):
+    """Single-shot (non-online-softmax) attention; see _ss_kernel.
+
+    Supports Tq != Tk (cross-attention). kv_mask: [B, Tk]; if q_mask is
+    given, fully-masked query rows are zeroed on the way out."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    orig_tq = tq
+    padq = (-tq) % BLOCK_Q_SS
+    padk = (-tk) % 128
+    if padq:
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, padq), (0, 0)])
+        tq += padq
+    if padk:
+        kcfg = [(0, 0), (0, 0), (0, padk), (0, 0)]
+        k = jnp.pad(k, kcfg)
+        v = jnp.pad(v, kcfg)
+        kv_mask = jnp.pad(kv_mask, [(0, 0), (0, padk)])
+        tk += padk
+    sm_scale = 1.0 / math.sqrt(d)
+    qf = q.reshape(b * h, tq, d)
+    kf = k.reshape(b * h, tk, d)
+    vf = v.reshape(b * h, tk, d)
+    maskf = jnp.repeat(kv_mask, h, axis=0)[:, None, :]  # [B*H, 1, Tk]
+
+    grid = (b * h, tq // BLOCK_Q_SS)
     out = pl.pallas_call(
         functools.partial(_ss_kernel, sm_scale=sm_scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, BLOCK_Q_SS, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, t, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((None, tk, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, t, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((None, tk, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, t), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((None, 1, tk), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((None, BLOCK_Q_SS, d),
                                lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
         interpret=interpret,
     )(qf, kf, vf, maskf)
-    out = out.reshape(b, h, t, d)
-    if pad:
-        out = out[:, :, :orig_t, :]
-    out = out * (mask[:, None, :orig_t, None] > 0)
+    out = out.reshape(b, h, tq, d)
+    if padq:
+        out = out[:, :, :orig_tq, :]
+    if q_mask is not None:
+        out = out * (q_mask[:, None, :orig_tq, None] > 0)
     return out
 
 
@@ -191,7 +216,6 @@ def _attention_flash(q, k, v, mask, interpret: bool = False):
 
 import os
 
-# Opt-in: at the pass-2 shapes (T<=1024, d_head 128) XLA's fused batched
 # Stage profiling (scripts/profile_encoder.py, b=16 T=1000 d=512 bf16 on
 # v5e) showed attention costs ~68 ms/forward vs an ~8 ms FLOP estimate —
 # XLA's unfused path round-trips the [B,H,T,T] fp32 score tensor through
@@ -229,5 +253,18 @@ def use_flash(t: int, d_head: int, att_mask) -> bool:
     if att_mask is not None:
         return False
     if t < 256 or d_head > 256:
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def use_flash_cross(tq: int, tk: int, d_head: int) -> bool:
+    """Single-shot cross-attention gate: key range must fit VMEM, and
+    shapes must be big enough that score HBM traffic (not dispatch)
+    dominates — streaming decoder chunks (tiny Tq) stay on XLA."""
+    if not flash_enabled():
+        return False
+    if tk > MAX_T_SS or d_head > 256:
+        return False
+    if tq < BLOCK_Q_SS or tk < 256:
         return False
     return jax.default_backend() == "tpu"

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -113,7 +114,32 @@ def bench_engine(args):
     # must hold its cadence (the async lane's whole purpose)
     n_adv = s // 2 if args.adversarial else 0
 
+    replay = None
+    if args.wav_dir:
+        # real-speech replay: each stream loops the concatenated sample
+        # wavs from a distinct phase offset, so VAD segmentation dynamics
+        # (segment lengths, endpoint rate, bucket mix) come from real
+        # speech instead of the synthetic burst pattern
+        from asr2pass_tpu.frontend.audio import load_wav_bytes
+
+        parts = []
+        for name in sorted(os.listdir(args.wav_dir)):
+            if not name.lower().endswith(".wav"):
+                continue
+            with open(os.path.join(args.wav_dir, name), "rb") as f:
+                samples, fs = load_wav_bytes(f.read())
+            assert fs == 16000, f"{name}: expected 16 kHz, got {fs}"
+            parts.append(samples)
+            parts.append(np.zeros(int(0.5 * fs), np.float32))  # gap
+        assert parts, f"no .wav files in {args.wav_dir}"
+        replay = np.concatenate(parts)
+        offs = (np.arange(s) * (len(replay) // max(s, 1))).astype(np.int64)
+
     def make_tick(k):
+        if replay is not None:
+            idx = (offs[:, None] + k * n_tick
+                   + np.arange(n_tick)[None, :]) % len(replay)
+            return replay[idx]
         x = rng.standard_normal((s, n_tick)).astype(np.float32) * 0.05
         if k % 8 < 5:
             x *= 6.0  # speech burst
@@ -233,6 +259,10 @@ def main():
     ap.add_argument("--adversarial", action="store_true",
                     help="half the streams play continuous speech "
                          "(long-segment pass-2 load)")
+    ap.add_argument("--wav-dir", default=None,
+                    help="engine mode: replay real .wav files (looped, "
+                         "per-stream phase offsets) instead of synthetic "
+                         "bursts; e.g. /root/reference/clients/audio")
     args = ap.parse_args()
 
     if args.cpu:

@@ -94,6 +94,8 @@ def main():
     ap.add_argument("--t", type=int, default=1000)
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--modes", default="gemm,noattn,nofsmn,full",
+                    help="comma list of variants to time")
     args = ap.parse_args()
 
     import os
@@ -114,14 +116,15 @@ def main():
     lengths = jnp.full((args.batch,), args.t, jnp.int32)
 
     results = {}
-    for mode in ["gemm", "noattn", "nofsmn", "full"]:
+    for mode in args.modes.split(","):
         fn = make_variant(params, cfg, mode)
         ms = timeit(fn, params, feats, lengths, iters=args.iters)
         results[mode] = ms
         print(f"{mode:8s} {ms:8.2f} ms")
-    print(f"attention cost ~ {results['full'] - results['noattn']:.2f} ms")
-    print(f"fsmn cost      ~ {results['full'] - results['nofsmn']:.2f} ms")
-    print(f"gemm floor       {results['gemm']:.2f} ms")
+    if {"full", "noattn", "nofsmn", "gemm"} <= set(results):
+        print(f"attention cost ~ {results['full'] - results['noattn']:.2f} ms")
+        print(f"fsmn cost      ~ {results['full'] - results['nofsmn']:.2f} ms")
+        print(f"gemm floor       {results['gemm']:.2f} ms")
 
 
 if __name__ == "__main__":

@@ -24,7 +24,6 @@ def ref_attention(q, k, v, mask):
 def test_flash_matches_reference(t, lens, impl):
     from asr2pass_tpu.ops.attention import _attention_flash, _attention_ss
 
-    fn = _attention_ss if impl == "ss" else _attention_flash
     b, h, d = 2, 2, 64
     rng = np.random.default_rng(0)
     q = rng.standard_normal((b, h, t, d)).astype(np.float32)
@@ -35,9 +34,39 @@ def test_flash_matches_reference(t, lens, impl):
         mask[i, :n] = 1.0
     ref = np.asarray(ref_attention(jnp.asarray(q), jnp.asarray(k),
                                    jnp.asarray(v), jnp.asarray(mask)))
-    got = np.asarray(fn(jnp.asarray(q), jnp.asarray(k),
-                        jnp.asarray(v), jnp.asarray(mask),
-                        interpret=True))
+    if impl == "ss":
+        got = _attention_ss(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                            jnp.asarray(mask), q_mask=jnp.asarray(mask),
+                            interpret=True)
+    else:
+        got = _attention_flash(jnp.asarray(q), jnp.asarray(k),
+                               jnp.asarray(v), jnp.asarray(mask),
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("tq,tk,lens", [(300, 500, [500, 377]),
+                                        (256, 120, [120, 64])])
+def test_cross_flash_matches_reference(tq, tk, lens):
+    """Cross-attention single-shot kernel (Tq != Tk) vs the XLA path of
+    layers.cross_attention (softmax over valid keys, q rows not zeroed)."""
+    from asr2pass_tpu.ops.attention import cross_flash_attention
+
+    b, h, d = 2, 2, 64
+    rng = np.random.default_rng(2)
+    q = rng.standard_normal((b, h, tq, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, tk, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, tk, d)).astype(np.float32)
+    kv_mask = np.zeros((b, tk), np.float32)
+    for i, n in enumerate(lens):
+        kv_mask[i, :n] = 1.0
+    s = jnp.einsum("bhtd,bhsd->bhts", q, k) / math.sqrt(d)
+    s = jnp.where(jnp.asarray(kv_mask)[:, None, None, :] > 0, s, -1e30)
+    ref = np.asarray(jnp.einsum("bhts,bhsd->bhtd",
+                                jax.nn.softmax(s, axis=-1), v))
+    got = np.asarray(cross_flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(kv_mask), interpret=True))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
 
 
