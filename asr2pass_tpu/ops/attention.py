@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -32,9 +33,10 @@ BLOCK_Q = 128
 BLOCK_K = 128
 _NEG = -1e30
 
-# single-shot kernel: largest T whose full K/V + one [BLOCK_Q_SS, T] fp32
-# score slab comfortably fit VMEM (~16 MB/core)
-BLOCK_Q_SS = 256
+# single-shot kernel: q-block rows per program; the full K/V plus one
+# [BLOCK_Q_SS, T] fp32 score slab must fit VMEM (~16 MB/core), which
+# bounds T at MAX_T_SS
+BLOCK_Q_SS = int(os.environ.get("ASR2PASS_SS_BLOCK_Q", "256"))
 MAX_T_SS = 2048
 
 

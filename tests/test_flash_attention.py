@@ -70,6 +70,25 @@ def test_cross_flash_matches_reference(tq, tk, lens):
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
 
 
+def test_dispatch_gates(monkeypatch):
+    """Env/backend gating: kernels are TPU-only, env vars override."""
+    from asr2pass_tpu.ops import attention as att
+
+    # CPU backend in tests -> both gates off regardless of env
+    monkeypatch.setenv("ASR2PASS_FLASH_ATTENTION", "1")
+    assert not att.use_flash(1000, 128, None)
+    assert not att.use_flash_cross(500, 1000, 128)
+    # scan_layers: explicit env wins on any backend
+    monkeypatch.setenv("ASR2PASS_SCAN_LAYERS", "1")
+    assert att.scan_layers()
+    monkeypatch.setenv("ASR2PASS_SCAN_LAYERS", "0")
+    assert not att.scan_layers()
+    # flash disabled -> cross gate off too
+    monkeypatch.setenv("ASR2PASS_FLASH_ATTENTION", "0")
+    assert not att.flash_enabled()
+    assert not att.use_flash_cross(500, 1000, 128)
+
+
 def test_flash_fully_masked_rows_zero():
     b, h, t, d = 1, 1, 128, 32
     rng = np.random.default_rng(1)
