@@ -156,7 +156,7 @@ def apply(params, ac_embeds, enc, enc_mask=None, mask=None,
         heads = cfg.attention_heads
     left = _fsmn_left(params, cfg)
 
-    if scan_layers():
+    if scan_layers(seq_len=min(ac_embeds.shape[1], enc.shape[1])):
         def body(x, layer):
             x, _ = _block(layer, x, enc, enc_mask, mask, heads,
                           fsmn_left=left)
@@ -188,7 +188,7 @@ def apply_streaming(params, ac_embeds, enc, caches,
     concatenated (tested). valid_len [B] gives the true token count per
     stream for padded chunks."""
 
-    if scan_layers():
+    if scan_layers(seq_len=min(ac_embeds.shape[1], enc.shape[1])):
         def body(x, layer_and_cache):
             layer, cache = layer_and_cache
             x, nc = _block(layer, x, enc, enc_mask, mask, heads,

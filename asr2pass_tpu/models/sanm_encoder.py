@@ -97,7 +97,7 @@ def apply(params, feats, mask: Optional[jnp.ndarray] = None,
     x = _block(params["first"], x, mask, heads,
                residual=(d_in == d_model), att_mask=att_mask)
     if params["rest"] is not None:
-        if scan_layers():
+        if scan_layers(seq_len=t):
             def body(x, layer):
                 return _block(layer, x, mask, heads, residual=True,
                               att_mask=att_mask), None

@@ -236,15 +236,23 @@ def flash_enabled() -> bool:
     return os.environ.get(_FLASH_ENV, "1") == "1"
 
 
-def scan_layers() -> bool:
+def scan_layers(seq_len=None) -> bool:
     """Layer-stack tracing strategy. Honor ASR2PASS_SCAN_LAYERS if set;
-    otherwise scan on TPU when flash attention is enabled — scan keeps the
-    Pallas kernel to ONE call site (each site is a ~45 s tunnel compile
-    here, no dedupe), while unrolled loops compile ~3x faster when there
-    is no Pallas inside (the CPU/test default)."""
+    otherwise scan on TPU when flash attention is enabled AND actually
+    reachable at this stack's shapes — scan keeps the Pallas kernel to ONE
+    call site (each site is a ~45 s tunnel compile here, no dedupe), while
+    unrolled loops compile ~3x faster when there is no Pallas inside (the
+    CPU/test default, and streaming models whose chunk windows sit under
+    the t>=256 kernel gate).
+
+    seq_len: the attention sequence length at this stack's call sites
+    (self-attn t, or min(tq, tk) for cross) — when given and below the
+    kernel gate, the stack compiles unrolled."""
     v = os.environ.get(_SCAN_ENV)
     if v is not None:
         return v == "1"
+    if seq_len is not None and seq_len < 256:
+        return False
     return flash_enabled() and jax.default_backend() == "tpu"
 
 

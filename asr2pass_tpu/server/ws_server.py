@@ -68,6 +68,10 @@ class ConnectionState:
         self.started = False
         self.engine_sid: Optional[int] = None
         self.engine_final = False
+        # set when an offline upload trips the size cap: subsequent binary
+        # frames are dropped and the final message re-answers with the same
+        # error until the next config JSON resets the connection state
+        self.upload_rejected: Optional[str] = None
 
 
 class AsrWsServer:
@@ -155,6 +159,7 @@ class AsrWsServer:
             await self._send(ws, {"stats": METRICS.report()})
             return
         if not st.started:
+            st.upload_rejected = None
             st.mode = obj.get("mode", st.mode)
             st.wav_name = obj.get("wav_name", st.wav_name)
             st.wav_format = obj.get("wav_format", st.wav_format)
@@ -189,6 +194,15 @@ class AsrWsServer:
                 st.started = False
                 return
             if st.mode == "offline":
+                if st.upload_rejected:
+                    await self._send(ws, {
+                        "text": "", "mode": "offline",
+                        "wav_name": st.wav_name, "is_final": True,
+                        "error": st.upload_rejected,
+                    })
+                    st.offline_buf.clear()
+                    st.started = False
+                    return
                 res = await loop.run_in_executor(
                     self.executor, self._offline_decode, st)
                 payload = {
@@ -239,14 +253,25 @@ class AsrWsServer:
 
     async def _handle_binary(self, ws, st: ConnectionState, data: bytes):
         if st.mode == "offline":
-            if len(st.offline_buf) + len(data) > self.max_upload_bytes:
+            if st.upload_rejected:
+                return
+            if len(data) > self.max_message_bytes:
+                # single websocket frame over the per-frame cap: answer
+                # gracefully instead of the transport's 1009 close (the
+                # transport backstop sits above max_upload_bytes, so a
+                # whole-file single-frame upload reaches this path)
+                st.upload_rejected = ("message exceeds max_message_bytes=%d;"
+                                      " chunk the upload"
+                                      % self.max_message_bytes)
+            elif len(st.offline_buf) + len(data) > self.max_upload_bytes:
+                st.upload_rejected = ("upload exceeds max_upload_bytes=%d"
+                                      % self.max_upload_bytes)
+            if st.upload_rejected:
                 st.offline_buf.clear()
-                st.started = False
                 await self._send(ws, {
                     "text": "", "mode": "offline",
                     "wav_name": st.wav_name, "is_final": True,
-                    "error": "upload exceeds max_upload_bytes=%d"
-                             % self.max_upload_bytes,
+                    "error": st.upload_rejected,
                 })
                 return
             st.offline_buf.extend(data)
@@ -358,9 +383,13 @@ class AsrWsServer:
             self._engine_lock = asyncio.Lock()
             self._engine_task = asyncio.get_running_loop().create_task(
                 self._engine_loop())
+        # transport frame cap is a backstop sized above the upload cap so a
+        # whole-file single-frame upload gets the graceful per-frame error
+        # in _handle_binary instead of a 1009 close
         self._server = await websockets.serve(
             self.handler, self.host, self.port, ssl=self.ssl_context,
-            max_size=self.max_message_bytes,
+            max_size=max(self.max_message_bytes,
+                         self.max_upload_bytes) + (1 << 20),
         )
         log.info("listening on %s:%d%s", self.host, self.port,
                  " (engine-batched)" if self.use_engine else "")

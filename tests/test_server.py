@@ -232,3 +232,84 @@ def test_offline_upload_size_policy(models):
     msg = asyncio.run(run_all())
     assert msg["is_final"] is True
     assert "error" in msg and "max_upload_bytes" in msg["error"]
+
+
+def test_offline_upload_rejection_is_sticky(models):
+    """After the cap trips, trailing binary frames are dropped and the
+    final message re-answers with the error — no normal-looking transcript
+    of a truncated fragment; the next config JSON resets the state."""
+    async def run_all():
+        import websockets
+
+        server = AsrWsServer(models, host="127.0.0.1", port=0,
+                             max_upload_bytes=32000)
+        srv = await server.serve()
+        port = srv.sockets[0].getsockname()[1]
+        try:
+            uri = f"ws://127.0.0.1:{port}"
+            async with websockets.connect(uri) as ws:
+                await ws.send(json.dumps({
+                    "mode": "offline", "wav_name": "big",
+                    "wav_format": "pcm", "is_speaking": True,
+                }))
+                pcm = _pcm(2.0)  # 64000 bytes > 32000 cap
+                for i in range(0, len(pcm), 16000):
+                    await ws.send(pcm[i: i + 16000])
+                first = json.loads(
+                    await asyncio.wait_for(ws.recv(), timeout=30))
+                # the tail of the upload after the error: must be dropped
+                await ws.send(pcm[:16000])
+                await ws.send(json.dumps({"is_speaking": False}))
+                second = json.loads(
+                    await asyncio.wait_for(ws.recv(), timeout=30))
+                # a fresh utterance on the same connection works again
+                await ws.send(json.dumps({
+                    "mode": "offline", "wav_name": "ok",
+                    "wav_format": "pcm", "is_speaking": True,
+                }))
+                await ws.send(_pcm(0.5))
+                await ws.send(json.dumps({"is_speaking": False}))
+                third = json.loads(
+                    await asyncio.wait_for(ws.recv(), timeout=60))
+            return first, second, third
+        finally:
+            srv.close()
+            await srv.wait_closed()
+            server.executor.shutdown(wait=False)
+
+    first, second, third = asyncio.run(run_all())
+    assert "error" in first and "error" in second
+    assert second["text"] == ""
+    assert third["wav_name"] == "ok" and "error" not in third
+
+
+def test_offline_single_frame_over_message_cap(models):
+    """A single websocket frame over max_message_bytes gets a graceful
+    error result, not a 1009 transport close (ADVICE round 2)."""
+    async def run_all():
+        import websockets
+
+        server = AsrWsServer(models, host="127.0.0.1", port=0,
+                             max_message_bytes=16000,
+                             max_upload_bytes=64000)
+        srv = await server.serve()
+        port = srv.sockets[0].getsockname()[1]
+        try:
+            uri = f"ws://127.0.0.1:{port}"
+            async with websockets.connect(uri, max_size=None) as ws:
+                await ws.send(json.dumps({
+                    "mode": "offline", "wav_name": "oneframe",
+                    "wav_format": "pcm", "is_speaking": True,
+                }))
+                await ws.send(_pcm(1.0))  # 32000 bytes in ONE frame
+                msg = json.loads(
+                    await asyncio.wait_for(ws.recv(), timeout=30))
+            return msg
+        finally:
+            srv.close()
+            await srv.wait_closed()
+            server.executor.shutdown(wait=False)
+
+    msg = asyncio.run(run_all())
+    assert msg["is_final"] is True
+    assert "error" in msg and "max_message_bytes" in msg["error"]
