@@ -331,6 +331,116 @@ CONVERTERS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# --verify: execute the SOURCE model.onnx graph as the conversion oracle
+# ---------------------------------------------------------------------------
+
+
+def verify_against_onnx(src: str, params, kind: str, tol: float = 1e-3,
+                        seed: int = 0) -> float:
+    """Execute the source model.onnx with tools/onnx_reader.OnnxExecutor on
+    random inputs and compare against the converted JAX model's forward.
+
+    This breaks the self-referential parity loop (the numpy oracle in
+    tests/funasr_numpy_ref.py shares authorship with the JAX models): the
+    oracle here is the *executed source graph* — the same artifact the
+    reference serves through ONNX Runtime (paraformer.cpp:463-589 drives it
+    with [feats, feats_len], reads [logits, token_lens]; the 4-output
+    timestamp layout is :549). Raises on mismatch; returns max abs diff.
+    """
+    import jax.numpy as jnp
+
+    from asr2pass_tpu.tools.onnx_reader import OnnxExecutor, read_onnx
+
+    onnx_path = os.path.join(src, "model.onnx")
+    if not os.path.exists(onnx_path):
+        raise FileNotFoundError(f"--verify needs {onnx_path}")
+    g = read_onnx(onnx_path)
+    rng = np.random.default_rng(seed)
+
+    if kind == "asr":
+        from asr2pass_tpu import config as cfg_mod
+        from asr2pass_tpu.models import cif, sanm_decoder, sanm_encoder
+        from asr2pass_tpu.models.layers import length_mask
+
+        cfg_path = os.path.join(src, "config.yaml")
+        cfg = cfg_mod.load_paraformer_yaml(cfg_path)
+        # graph input may carry a static [B, T, D]; otherwise pick T
+        shape = g.input_shapes.get(g.inputs[0]) or []
+        t = shape[1] if len(shape) == 3 and shape[1] else 50
+        d_in = (shape[2] if len(shape) == 3 and shape[2]
+                else cfg.encoder.input_size)
+        feats = (rng.standard_normal((1, t, d_in)) * 0.5).astype(np.float32)
+        lengths = np.asarray([t], np.int64)
+        onnx_out = OnnxExecutor(g)(feats, lengths)
+        onnx_logits = np.asarray(onnx_out[0])
+        onnx_tn = float(np.asarray(onnx_out[1]).reshape(-1)[0])
+        # drive the model stages with the GRAPH's token-count convention:
+        # FunASR masks the decoder to round(sum(alphas)) tokens
+        # (pre_token_length.round()), which can include one zero-pad row
+        # past the last CIF fire; the serving path (paraformer.apply) uses
+        # the fire count instead — equal for trained predictors, but the
+        # comparison here must follow the executed graph exactly.
+        mask = length_mask(jnp.asarray([t]), t)
+        enc = sanm_encoder.apply(params["encoder"], jnp.asarray(feats),
+                                 mask, d_model=cfg.encoder.output_size,
+                                 heads=cfg.encoder.attention_heads)
+        alphas = cif.alphas_head(params["predictor"], enc, cfg.predictor,
+                                 mask)
+        ac, _, _ = cif.fire_offline(enc, alphas, cfg.predictor.threshold,
+                                    cfg.predictor.tail_threshold,
+                                    lengths=jnp.asarray([t]))
+        jax_tn = float(np.asarray(jnp.sum(alphas))
+                       + cfg.predictor.tail_threshold)
+        u = onnx_logits.shape[1]
+        if abs(u - round(jax_tn)) > 1:
+            raise AssertionError(
+                f"token count mismatch: onnx U={u} (sum={onnx_tn:.2f}) vs "
+                f"jax round(sum)={round(jax_tn)} (sum={jax_tn:.2f})")
+        tok_mask = length_mask(jnp.asarray([u]), ac.shape[1])
+        logits = sanm_decoder.apply(params["decoder"], ac, enc,
+                                    enc_mask=mask, mask=tok_mask,
+                                    cfg=cfg.decoder)
+        diff = float(np.abs(onnx_logits[0]
+                            - np.asarray(logits)[0, :u]).max())
+    elif kind == "punc":
+        from asr2pass_tpu import config as cfg_mod
+        from asr2pass_tpu.models import ct_transformer
+
+        vocab, d_model = params["embed"]["table"].shape
+        heads = 8
+        cfg_path = os.path.join(src, "config.yaml")
+        if os.path.exists(cfg_path):
+            import yaml
+
+            with open(cfg_path) as f:
+                node = yaml.safe_load(f) or {}
+            heads = (node.get("encoder_conf") or {}).get(
+                "attention_heads", heads)
+        cfg = cfg_mod.PuncConfig(vocab_size=int(vocab),
+                                 att_dim=int(d_model),
+                                 attention_heads=int(heads))
+        shape = g.input_shapes.get(g.inputs[0]) or []
+        t = shape[1] if len(shape) == 2 and shape[1] else 40
+        ids = rng.integers(0, vocab, size=(1, t)).astype(np.int64)
+        lengths = np.asarray([t], np.int64)
+        onnx_out = OnnxExecutor(g)(ids, lengths)
+        onnx_logits = np.asarray(onnx_out[0] if isinstance(onnx_out, tuple)
+                                 else onnx_out)
+        jax_logits = np.asarray(ct_transformer.apply(
+            params, cfg, jnp.asarray(ids)))
+        diff = float(np.abs(onnx_logits - jax_logits).max())
+    else:
+        raise NotImplementedError(
+            f"--verify supports kinds asr/punc (got {kind}); vad and "
+            f"sensevoice graphs verify through tests/test_convert_parity.py")
+    if diff > tol:
+        raise AssertionError(
+            f"converted model disagrees with executed model.onnx: "
+            f"max|diff|={diff:.2e} > {tol:g}")
+    return diff
+
+
 def _guess_kind(sd: Dict[str, np.ndarray]) -> str:
     if "encoder.in_linear1.linear.weight" in sd:
         return "vad"
@@ -349,7 +459,21 @@ def main(argv=None):
     p.add_argument("--kind", choices=sorted(CONVERTERS) + ["auto"],
                    default="auto",
                    help="model family (default: detect from tensor names)")
+    p.add_argument("--verify", action="store_true",
+                   help="execute the source model.onnx (tools/onnx_reader) "
+                        "on random inputs and assert the converted JAX "
+                        "model matches its outputs")
+    p.add_argument("--verify-tol", type=float, default=1e-3,
+                   help="max abs logit difference allowed by --verify")
     args = p.parse_args(argv)
+
+    # conversion + verification are host-side work; on this image the site
+    # hook selects the axon TPU backend in every process, where the
+    # executor's eager op-by-op dispatch is pathological (CLAUDE.md) —
+    # force CPU before any jax use
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
     pt = os.path.join(args.src, "model.pt")
     if os.path.exists(pt):
@@ -372,6 +496,12 @@ def main(argv=None):
     kind = _guess_kind(sd) if args.kind == "auto" else args.kind
     print(f"converting as kind={kind}")
     params = CONVERTERS[kind](sd)
+
+    if args.verify:
+        diff = verify_against_onnx(args.src, params, kind,
+                                   tol=args.verify_tol)
+        print(f"verify PASSED: executed model.onnx matches converted "
+              f"model, max|diff|={diff:.2e}")
 
     import shutil
 

