@@ -22,6 +22,7 @@ import struct
 from typing import Dict, List, Optional, Tuple
 
 MAGIC = 2125659606
+SYMBOL_TABLE_MAGIC = 2125658996   # OpenFST symbol-table.cc
 INF = math.inf
 
 # arcs[state] = list of (ilabel, olabel, weight, nextstate)
@@ -75,9 +76,29 @@ def read_fst(path: str):
     fsttype, arctype = strs
     if fsttype != "vector" or arctype != "standard":
         raise ValueError(f"unsupported fst/arc type: {fsttype}/{arctype}")
-    _ver, _flags = take("ii")
+    _ver, flags = take("ii")
     (_props,) = take("Q")
     start, n_states, _n_arcs = take("qqq")
+
+    def skip_symbol_table():
+        nonlocal off
+        (magic,) = take("i")
+        if magic != SYMBOL_TABLE_MAGIC:
+            raise ValueError("corrupt embedded symbol table")
+        (n,) = take("i")          # name
+        off += n
+        take("q")                 # available_key
+        (count,) = take("q")
+        for _ in range(count):
+            (n,) = take("i")      # symbol
+            off += n
+            take("q")             # key
+
+    # embedded symbol tables (FstHeader flags 0x1/0x2) precede the states
+    if flags & 0x1:
+        skip_symbol_table()
+    if flags & 0x2:
+        skip_symbol_table()
     arcs: Arcs = []
     finals: Dict[int, float] = {}
     for s in range(n_states):

@@ -83,6 +83,30 @@ struct A2pFst {
   int64_t nstates() const { return (int64_t)final_w.size(); }
 };
 
+// OpenFST header flag bits (fst.h FstHeader): symbol tables follow the
+// header when set; const-fst data may be 16-byte aligned.
+constexpr int32_t kHasISymbols = 0x1;
+constexpr int32_t kHasOSymbols = 0x2;
+constexpr int32_t kIsAligned = 0x4;
+// symbol-table.cc kSymbolTableMagicNumber
+constexpr int32_t kSymbolTableMagic = 2125658996;
+
+// Parse-and-skip one serialized SymbolTable (symbol-table.cc layout:
+// magic i32, name str, available_key i64, size i64, then per entry
+// symbol str + key i64). Returns false on corruption.
+static bool skip_symbol_table(Reader& r) {
+  if (r.get<int32_t>() != kSymbolTableMagic) return false;
+  (void)r.str();                       // name
+  (void)r.get<int64_t>();              // available_key
+  int64_t size = r.get<int64_t>();
+  if (!r.ok || size < 0 || (size_t)size > r.n) return false;
+  for (int64_t i = 0; i < size && r.ok; ++i) {
+    (void)r.str();                     // symbol
+    (void)r.get<int64_t>();            // key
+  }
+  return r.ok;
+}
+
 static A2pFst* load_impl(const uint8_t* data, int64_t size) {
   Reader r{data, (size_t)size};
   if (r.get<int32_t>() != kFstMagic) return nullptr;
@@ -94,7 +118,15 @@ static A2pFst* load_impl(const uint8_t* data, int64_t size) {
   int64_t start = r.get<int64_t>();
   int64_t nstates = r.get<int64_t>();
   int64_t narcs = r.get<int64_t>();
-  if (!r.ok || arctype != "standard" || nstates < 0) return nullptr;
+  if (!r.ok || arctype != "standard" || nstates < 0 || narcs < 0)
+    return nullptr;
+  // hostile-input bounds: every state/arc record needs >= 12 bytes on
+  // disk; absurd counts must not reach reserve()
+  if (nstates > size || narcs > size) return nullptr;
+  // embedded symbol tables (files written with --keep_{i,o}symbols or by
+  // pynini with attached tables) sit between the header and the states
+  if ((flags & kHasISymbols) && !skip_symbol_table(r)) return nullptr;
+  if ((flags & kHasOSymbols) && !skip_symbol_table(r)) return nullptr;
 
   auto fst = new A2pFst();
   fst->start = start;
@@ -121,7 +153,7 @@ static A2pFst* load_impl(const uint8_t* data, int64_t size) {
   } else if (fsttype == "const" || fsttype == "const64") {
     const bool wide = fsttype == "const64";
     // aligned file version 1 pads to 16 bytes before each array
-    const bool aligned = (version == 1) || (flags & 0x4 /*IS_ALIGNED*/);
+    const bool aligned = (version == 1) || (flags & kIsAligned);
     if (aligned) r.align16();
     // ConstState records are raw struct dumps:
     //   u32 variant: {float weight; u32 pos, narcs, nieps, noeps} = 20 B
@@ -163,9 +195,17 @@ static A2pFst* load_impl(const uint8_t* data, int64_t size) {
     delete fst;
     return nullptr;
   }
-  if (!r.ok || (int64_t)fst->final_w.size() != nstates) {
+  if (!r.ok || (int64_t)fst->final_w.size() != nstates ||
+      start >= nstates) {
     delete fst;
     return nullptr;
+  }
+  // arcs must target real states (corrupt files would crash the search)
+  for (const Arc& a : fst->arcs) {
+    if (a.next < 0 || (int64_t)a.next >= nstates) {
+      delete fst;
+      return nullptr;
+    }
   }
   return fst;
 }
