@@ -130,6 +130,10 @@ _PROTECTED_WORDS = (
     "一干二净", "一清二楚", "一心一意", "三心二意", "二话不说", "独一无二",
     "万一", "统一", "唯一", "专一", "单一", "合二为一", "不二", "一流",
     "一生", "一身", "一贯", "一律", "一共", "一向", "一度", "一带一路",
+    "说一不二", "三七二十一", "乱七八糟", "五花八门", "七上八下",
+    "四面八方", "千方百计", "千军万马", "五湖四海", "七嘴八舌",
+    "九牛一毛", "十全十美", "一无所有", "一如既往", "下一步", "进一步",
+    "一言为定", "五颜六色", "成千上万", "千变万化", "万无一失",
 )
 
 _PROTECTED_RE = re.compile(
@@ -161,6 +165,19 @@ class ChineseITN:
         lnum = (f"[{_NUM_CHARS}]*?[{dig}][{_NUM_CHARS}]*?"
                 f"(?:点[{_NUM_CHARS}]+?)?")
         self._rules = [
+            # fraction / percent FIRST: 百/千/万 in 百分之… belong to the
+            # category word, not to a numeral a later rule may grab
+            (re.compile(f"(?<![{_NUM_CHARS}])百分之百"), lambda m: "100%"),
+            (re.compile(f"负百分之({num}(?:点{num})?)"),
+             lambda m: f"-{self._decimal(m.group(1))}%"),
+            (re.compile(f"(?<![{_NUM_CHARS}])百分之({num}(?:点{num})?)"),
+             lambda m: f"{self._decimal(m.group(1))}%"),
+            (re.compile(f"(?<![{_NUM_CHARS}])千分之({num}(?:点{num})?)"),
+             lambda m: f"{self._decimal(m.group(1))}‰"),
+            (re.compile(f"负({num})分之({num})"),
+             lambda m: f"-{_num(m.group(2))}/{_num(m.group(1))}"),
+            (re.compile(f"({num})分之({num})"),
+             lambda m: f"{_num(m.group(2))}/{_num(m.group(1))}"),
             # negatives with a measure unit first, then bare
             (re.compile(f"负({lnum})({unit})"),
              lambda m: f"-{self._decimal(m.group(1))}{m.group(2)}"),
@@ -182,11 +199,6 @@ class ChineseITN:
             # itn-token-parser.cpp:25-45)
             (re.compile(f"({lnum})({unit})"),
              lambda m: f"{self._decimal(m.group(1))}{m.group(2)}"),
-            # fraction / percent (X分之Y -> Y/X, 百分之X -> X%)
-            (re.compile(f"百分之({num}(?:点{num})?)"),
-             lambda m: f"{self._decimal(m.group(1))}%"),
-            (re.compile(f"({num})分之({num})"),
-             lambda m: f"{_num(m.group(2))}/{_num(m.group(1))}"),
             # date: X年X月X日/号
             (re.compile(f"({num})年({num})月({num})[日号]"),
              lambda m: f"{self._year(m.group(1))}年{_num(m.group(2))}月"
@@ -203,6 +215,25 @@ class ChineseITN:
              lambda m: f"{_num(m.group(1))}:{self._two(m.group(2))}"),
             (re.compile(f"({num})点半"),
              lambda m: f"{_num(m.group(1))}:30"),
+            # money with sub-units (角/毛 = 0.1元, 分 = 0.01元):
+            # X元Y角Z分 / X块Y毛 / X块零Z分 / X块Y (trailing digit = 角)
+            (re.compile(f"({num})[元块]({num})[角毛]({num})分"),
+             lambda m: self._yuan(m.group(1), m.group(2), m.group(3))),
+            (re.compile(f"({num})[元块]零({num})分"),
+             lambda m: self._yuan(m.group(1), "零", m.group(2))),
+            (re.compile(f"({num})[元块]({num})分"),
+             lambda m: self._yuan(m.group(1), "零", m.group(2))),
+            (re.compile(f"({num})[元块]({num})[角毛]钱?"),
+             lambda m: self._yuan(m.group(1), m.group(2))),
+            (re.compile(f"({num})块([一两二三四五六七八九])"
+                        f"(?![{_NUM_CHARS}角毛分])"),
+             lambda m: self._yuan(m.group(1), m.group(2))),
+            (re.compile(f"({num})[角毛]({num})分"),
+             lambda m: self._yuan("零", m.group(1), m.group(2))),
+            (re.compile(f"({num})[角毛]钱?(?!度|色)"),
+             lambda m: self._yuan("零", m.group(1))),
+            (re.compile(f"({num})分钱"),
+             lambda m: self._yuan("零", "零", m.group(1))),
             # money: X元/块/块钱
             (re.compile(f"({num}(?:点{num})?)[元](?!素)"),
              lambda m: f"{self._decimal(m.group(1))}元"),
@@ -230,6 +261,19 @@ class ChineseITN:
         if d is not None and len(d) >= 2:
             return d
         return _num(s)
+
+    @staticmethod
+    def _yuan(yuan: str, jiao: str = "零", fen: str = "零") -> str:
+        """Compose 元/角/分 into a decimal amount: (五, 三, 二) -> 5.32元."""
+        y, j, f = (_num(yuan), _num(jiao), _num(fen))
+        if not (y.isdigit() and j.isdigit() and f.isdigit()):
+            return f"{yuan}元"
+        cents = int(j) * 10 + int(f)
+        if cents == 0:
+            return f"{y}元"
+        frac = f"{cents:02d}".rstrip("0") if cents % 10 == 0 \
+            else f"{cents:02d}"
+        return f"{y}.{frac}元"
 
     @staticmethod
     def _decimal(s: str) -> str:

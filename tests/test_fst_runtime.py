@@ -87,6 +87,64 @@ def test_fst_itn_full_pipeline(tmp_path):
     assert itn.normalize("你好") == "你好"
 
 
+def _loop_grammar_add(b: FstBuilder, inp: str, out: str, w=0.0):
+    """One rewrite rule as a cycle: start -[inp:out/w]-> ... -> start, so
+    multiple matches compose in sequence (WeTextProcessing-style grammar
+    shape: rules union-ed and closed at the start state)."""
+    end = b.add_string(b.start, _bytes(inp), _bytes(out), w)
+    b.add_arc(end, 0, 0, 0.0, b.start)
+
+
+def test_fst_itn_multi_rule_grammar(tmp_path):
+    """A looping multi-rule grammar (money + date + time + byte
+    passthrough) through the full tag -> reorder -> verbalize pipeline —
+    several categories in ONE compiled tagger/verbalizer pair, with
+    non-canonical tagger field order fixed by ITN_ORDERS reordering
+    (itn-token-parser.cpp:25-45) and untagged text passing through."""
+    from asr2pass_tpu.text.itn import FstITN
+
+    passthrough = "今天上午我花了和在见"
+
+    # WeTextProcessing taggers tokenize EVERYTHING: plain text becomes
+    # char tokens (weight 1.0) so category rules (weight 0) win overlaps
+    tagger = FstBuilder()
+    tagger.set_final(tagger.start)
+    for ch in passthrough:
+        _loop_grammar_add(tagger, ch, f'char {{ value: "{ch}" }} ', w=1.0)
+    # fields deliberately emitted in NON-canonical order
+    _loop_grammar_add(tagger, "三块五毛钱",
+                      'money { value: "3.5" currency: "元" } ')
+    _loop_grammar_add(tagger, "三月五号",
+                      'date { day: "5" month: "3" } ')
+    _loop_grammar_add(tagger, "八点半",
+                      'time { minute: "30" hour: "8" } ')
+    tp = str(tmp_path / "multi_itn_tagger.fst")
+    tagger.write(tp)
+
+    verb = FstBuilder()
+    verb.set_final(verb.start)
+    # token separators are DELETED on verbalization (space -> epsilon)
+    for byte in _bytes(" "):
+        verb.add_arc(verb.start, byte, 0, 0.0, verb.start)
+    for ch in passthrough:
+        _loop_grammar_add(verb, f'char {{ value: "{ch}" }}', ch)
+    _loop_grammar_add(verb, 'money { currency: "元" value: "3.5" }',
+                      "3.5元")
+    _loop_grammar_add(verb, 'date { month: "3" day: "5" }', "3月5日")
+    _loop_grammar_add(verb, 'time { hour: "8" minute: "30" }', "8:30")
+    vp = str(tmp_path / "multi_itn_verbalizer.fst")
+    verb.write(vp)
+
+    itn = FstITN(tp, vp)
+    # single category
+    assert itn.normalize("三块五毛钱") == "3.5元"
+    # several categories in one utterance, interleaved with passthrough
+    got = itn.normalize("今天三月五号八点半我花了三块五毛钱")
+    assert got == "今天3月5日8:30我花了3.5元"
+    # untagged text survives both compositions
+    assert itn.normalize("今天上午") == "今天上午"
+
+
 def test_reorder_tagged_tokens():
     from asr2pass_tpu.text.itn import reorder_tagged_tokens
 
