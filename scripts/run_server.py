@@ -55,8 +55,15 @@ def main():
     p.add_argument("--keyfile", default="")
     p.add_argument("--demo", action="store_true",
                    help="random tiny models (protocol testing)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (this image's site hook "
+                        "selects the TPU in every process; see CLAUDE.md)")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.demo:
         import jax

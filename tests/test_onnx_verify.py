@@ -136,6 +136,34 @@ def test_verify_catches_wrong_weights(asr_model_dir):
         verify_against_onnx(str(src), params, "asr")
 
 
+def test_fetch_model_local_dir(asr_model_dir, tmp_path):
+    """fetch_model on an existing local dir: skips the network, converts,
+    verifies — the offline-friendly provisioning path (reference
+    counterpart: funasr-wss-server-2pass.cpp:195-502 local branch)."""
+    from asr2pass_tpu.tools import fetch_model
+
+    src, _ = asr_model_dir
+    out = tmp_path / "prov"
+    rc = fetch_model.main([str(src), "--out", str(out), "--verify"])
+    assert rc == 0
+    assert os.path.exists(out / "weights.npz")
+
+
+def test_fetch_model_no_network(tmp_path, monkeypatch):
+    """Unreachable ModelScope: clear message + nonzero exit, no
+    half-provisioned dir."""
+    from asr2pass_tpu.tools import fetch_model
+
+    def boom(*a, **k):
+        raise OSError("no route to host")
+
+    monkeypatch.setattr(fetch_model, "_http_json", boom)
+    rc = fetch_model.main(["damo/some-model", "--out",
+                           str(tmp_path / "x")])
+    assert rc == 1
+    assert not os.path.exists(tmp_path / "x" / "weights.npz")
+
+
 def test_convert_verify_punc(tmp_path):
     """Punc model: embed -> SANM encoder -> 6-class head, verified against
     the executed graph."""

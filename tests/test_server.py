@@ -313,3 +313,25 @@ def test_offline_single_frame_over_message_cap(models):
     msg = asyncio.run(run_all())
     assert msg["is_final"] is True
     assert "error" in msg and "max_message_bytes" in msg["error"]
+
+
+def test_html_demo_protocol_surface():
+    """The browser demo page carries the full protocol + feature surface
+    (reference main.js depth: file mode, worklet capture, wss note,
+    hotwords, timestamps, partial-overwrite rendering)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "clients",
+                        "html", "index.html")
+    with open(path, encoding="utf-8") as f:
+        page = f.read()
+    for needle in (
+        "chunk_size", "chunk_interval", "wav_format", "is_speaking",
+        "hotwords", "itn", "2pass-online", "2pass-offline",
+        "stamp_sents",                       # timestamp rendering
+        "audioWorklet", "createScriptProcessor",  # capture + fallback
+        "RIFF"[:4], "0x52494646",            # wav upload parsing
+        "wss", "getUserMedia",
+    ):
+        assert needle in page, needle
+    assert page.count("<script>") == page.count("</script>")
