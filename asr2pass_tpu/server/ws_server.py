@@ -312,11 +312,13 @@ class AsrWsServer:
     async def _engine_loop(self):
         loop = asyncio.get_running_loop()
         while True:
-            has_work = self.engine is not None and any(
-                slot.active and (slot.audio_in or slot.pending_feats is not
-                                 None and slot.pending_feats.shape[0] > 0
-                                 or slot.seg_queue)
-                for slot in self.engine.slots)
+            has_work = self.engine is not None and (
+                self.engine.has_inflight() or any(
+                    slot.active and (slot.audio_in or slot.pending_feats
+                                     is not None
+                                     and slot.pending_feats.shape[0] > 0
+                                     or slot.seg_queue)
+                    for slot in self.engine.slots))
             if has_work:
                 async with self._engine_lock:
                     await loop.run_in_executor(self.executor,

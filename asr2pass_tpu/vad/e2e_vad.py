@@ -206,17 +206,22 @@ class E2EVadStateMachine:
 
     # -- internals --------------------------------------------------------
     def _compute_decibel(self, waveform: np.ndarray):
+        """Vectorized framewise energy (same values as the per-frame
+        np.dot loop): sliding window sums via cumsum — the engine calls
+        this once per stream per tick, so the per-frame Python loop was a
+        measurable share of the batched tick."""
         o = self.opts
         flen = o.frame_length_ms * o.sample_rate // 1000
         fshift = o.frame_in_ms * o.sample_rate // 1000
         n = len(waveform)
-        offset = 0
-        while offset + flen - 1 < n:
-            seg = waveform[offset: offset + flen]
-            self.decibel.append(
-                10.0 * math.log10(float(np.dot(seg, seg)) + 1e-6)
-            )
-            offset += fshift
+        nf = (n - flen) // fshift + 1 if n >= flen else 0
+        if nf <= 0:
+            return
+        w = waveform.astype(np.float64)
+        cs = np.concatenate([[0.0], np.cumsum(w * w)])
+        starts = np.arange(nf) * fshift
+        energy = cs[starts + flen] - cs[starts]
+        self.decibel.extend(10.0 * np.log10(energy + 1e-6))
 
     def _decibel_at(self, t: int) -> float:
         if t < len(self.decibel):
@@ -247,19 +252,64 @@ class E2EVadStateMachine:
             ) / n
         return SIL
 
+    def _frame_states_chunk(self, block: int):
+        """Vectorized _get_frame_state over the chunk: the per-frame log/
+        exp/sum probability math rides numpy; only the noise-decibel EMA
+        (sequential by definition) stays a slim scalar loop. Decisions are
+        identical to calling _get_frame_state per frame (the engine's
+        batched tick runs one automaton per stream, so per-frame Python
+        math was a measurable share of host time)."""
+        o = self.opts
+        base = self.frm_cnt - block
+        off = base - self.idx_pre_chunk
+        ids = list(o.sil_pdf_ids)
+        s = self.scores[off: off + block, ids].sum(-1, dtype=np.float32) \
+            .astype(np.float64)
+        # same exp(log(max(.))) composition as the scalar path so rounding
+        # matches bit-for-bit
+        noise_p = np.exp(np.log(np.maximum(s, 1e-12))
+                         * o.speech_2_noise_ratio)
+        speech_p = np.exp(np.log(np.maximum(1.0 - s, 1e-12)))
+        prob_speech = (speech_p >= noise_p
+                       + self.speech_noise_thres).tolist()
+        nd = len(self.decibel)
+        if nd == 0:
+            dec = [-100.0] * block
+        else:
+            dec = [self.decibel[min(base + i, nd - 1)]
+                   for i in range(block)]
+        states = [SIL] * block
+        ema = self.noise_average_decibel
+        n = o.noise_frame_num_used_for_snr
+        for i in range(block):
+            d = dec[i]
+            if d < o.decibel_thres:
+                continue
+            if prob_speech[i]:
+                if d - ema >= o.snr_thres:
+                    states[i] = SPEECH
+            elif ema < -99.9:
+                ema = d
+            else:
+                ema = (d + ema * (n - 1)) / n
+        self.noise_average_decibel = ema
+        return states
+
     def _detect_common_frames(self, block: int):
         if self.vad_state_machine == END_DETECTED:
             return
-        for i in range(block - 1, -1, -1):
-            t = self.frm_cnt - 1 - i
-            self._detect_one_frame(self._get_frame_state(t), t, False)
+        states = self._frame_states_chunk(block)
+        base = self.frm_cnt - block
+        for i in range(block):
+            self._detect_one_frame(states[i], base + i, False)
 
     def _detect_last_frames(self, block: int):
         if self.vad_state_machine == END_DETECTED:
             return
-        for i in range(block - 1, -1, -1):
-            t = self.frm_cnt - 1 - i
-            self._detect_one_frame(self._get_frame_state(t), t, i == 0)
+        states = self._frame_states_chunk(block)
+        base = self.frm_cnt - block
+        for i in range(block):
+            self._detect_one_frame(states[i], base + i, i == block - 1)
 
     def _latency_frames(self) -> int:
         o = self.opts

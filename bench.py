@@ -60,13 +60,14 @@ def bench_online(args):
     chunk_s = center * 0.06  # 600 ms of audio per chunk
     # streams sustainable at real time = streams * chunk_time / step_time
     sustainable = s * chunk_s / step_s
-    print(json.dumps({
+    result = {
         "metric": "realtime_streams_per_chip_pass1",
         "value": round(sustainable, 0),
         "unit": "streams",
         "vs_baseline": round(sustainable / 64.0, 2),
-    }))
-    return 0
+    }
+    print(json.dumps(result))
+    return result
 
 
 def bench_engine(args):
@@ -164,17 +165,19 @@ def bench_engine(args):
         tick_ms.append((time.perf_counter() - t0) * 1e3)
         for sid in sids:
             eng.poll(sid)
-    # drain the async pass-2 lane so its device time is charged to the run
+    # drain the async pass-2 lane and the pipelined pass-1 batch so their
+    # device time is charged to the run
     deadline = time.time() + 120
     while (not all(eng.drained(sid) for sid in sids)
            and time.time() < deadline):
+        eng.step()     # collects in-flight pass-1 results, flushes chunks
         time.sleep(0.005)
         for sid in sids:
             eng.poll(sid)
     elapsed = time.perf_counter() - start
     per_tick = elapsed / ticks
     sustainable = s * tick_s / per_tick
-    print(json.dumps({
+    result = {
         "metric": "realtime_streams_per_chip_2pass_engine",
         "value": round(sustainable, 0),
         "unit": "streams",
@@ -183,10 +186,13 @@ def bench_engine(args):
         # pass-1 partial cadence under load: tick p50/p95 (budget 600 ms)
         "p1_tick_p50_ms": round(float(np.percentile(tick_ms, 50)), 1),
         "p1_tick_p95_ms": round(float(np.percentile(tick_ms, 95)), 1),
+        "capacity": s,
         "pass2_async": bool(args.pass2_async),
         "adversarial": bool(args.adversarial),
-    }))
-    return 0
+        "wav_replay": bool(args.wav_dir),
+    }
+    print(json.dumps(result))
+    return result
 
 
 def bench_latency(args):
@@ -226,20 +232,62 @@ def bench_latency(args):
         times.append(time.perf_counter() - t0)
     times.sort()
     p50 = times[len(times) // 2] * 1000
-    print(json.dumps({
+    result = {
         "metric": "pass2_final_latency_p50_15s_segment",
         "value": round(p50, 1),
         "unit": "ms",
         # budget: a final should land well inside one 600 ms chunk stride
         "vs_baseline": round(600.0 / p50, 2),
-    }))
+    }
+    print(json.dumps(result))
+    return result
+
+
+def bench_all(args):
+    """Every serving mode in one run -> one JSON line per mode on stdout
+    AND appended to --bench-out (default bench_results.jsonl) with a
+    mode/config tag, so round-over-round numbers live in ONE diffable
+    artifact instead of prose (VERDICT r2 item 8)."""
+    import copy
+    import datetime
+
+    runs = []
+
+    def run(name, fn, **over):
+        a = copy.copy(args)
+        for k, v in over.items():
+            setattr(a, k, v)
+        try:
+            r = fn(a)
+        except Exception as e:  # record the failure, keep the suite going
+            r = {"metric": name, "error": repr(e)[:200]}
+            print(json.dumps(r))
+        r["run"] = name
+        runs.append(r)
+
+    run("offline_b16_60s", bench_offline)
+    run("online_pass1", bench_online)
+    run("latency_p50", bench_latency)
+    run("engine_default", bench_engine)
+    run("engine_adversarial", bench_engine, adversarial=True)
+    ref_wavs = "/root/reference/clients/audio"
+    if os.path.isdir(ref_wavs):
+        run("engine_real_wavs", bench_engine, wav_dir=ref_wavs)
+    stamp = datetime.datetime.now().isoformat(timespec="seconds")
+    with open(args.bench_out, "a") as f:
+        for r in runs:
+            r["ts"] = stamp
+            f.write(json.dumps(r) + "\n")
     return 0
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["offline", "online", "latency", "engine"],
+    ap.add_argument("--mode", choices=["offline", "online", "latency",
+                                       "engine", "all"],
                     default="offline")
+    ap.add_argument("--bench-out", default="bench_results.jsonl",
+                    help="--mode all: append one JSON line per mode here")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--streams", type=int, default=64)
     ap.add_argument("--seconds", type=float, default=60.0,
@@ -283,12 +331,23 @@ def main():
     except Exception:
         pass
 
+    if args.mode == "all":
+        return bench_all(args)
     if args.mode == "online":
-        return bench_online(args)
+        bench_online(args)
+        return 0
     if args.mode == "engine":
-        return bench_engine(args)
+        bench_engine(args)
+        return 0
     if args.mode == "latency":
-        return bench_latency(args)
+        bench_latency(args)
+        return 0
+    bench_offline(args)
+    return 0
+
+
+def bench_offline(args):
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -350,7 +409,7 @@ def main():
         "vs_baseline": round(value / 50.0, 2),
     }
     print(json.dumps(result))
-    return 0
+    return result
 
 
 if __name__ == "__main__":
