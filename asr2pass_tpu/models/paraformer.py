@@ -83,6 +83,49 @@ def apply_jit(params, cfg: ParaformerConfig, feats, lengths,
     return apply(params, cfg, feats, lengths, hw_emb, hw_mask, max_tokens)
 
 
+def apply_sp(params, cfg: ParaformerConfig, feats, lengths, mesh,
+             axis: str = "sp", max_tokens=None) -> ParaformerOutput:
+    """Sequence-parallel forward for very-long segments (SURVEY §5
+    long-context row): the 50-block encoder — the dominant FLOPs — runs
+    with the TIME axis sharded over `mesh` (parallel/sequence.py: local q,
+    all-gathered k/v, ppermute FSMN halos); the CIF scan + decoder tail
+    run under a jit on the sharded encodings, letting GSPMD place the
+    gather. T must be padded to a multiple of the axis size (the
+    recognizer's SP bucket does this; masks carry the true length)."""
+    from asr2pass_tpu.parallel.sequence import encode_sequence_parallel
+
+    enc = encode_sequence_parallel(params["encoder"], feats, cfg.encoder,
+                                   mesh, axis=axis, lengths=lengths)
+
+    @functools.partial(jax.jit, static_argnums=(1, 4))
+    def tail(params, cfg, enc, lengths, max_tokens):
+        mask = length_mask(lengths, enc.shape[1])
+        alphas = cif.alphas_head(params["predictor"], enc, cfg.predictor,
+                                 mask)
+        ac_embeds, token_num, _ = cif.fire_offline(
+            enc, alphas, cfg.predictor.threshold,
+            cfg.predictor.tail_threshold, max_tokens=max_tokens,
+            lengths=lengths)
+        tok_mask = length_mask(token_num, ac_embeds.shape[1])
+        logits = sanm_decoder.apply(
+            params["decoder"], ac_embeds, enc, enc_mask=mask,
+            mask=tok_mask, cfg=cfg.decoder)
+        us_alphas = us_peak = None
+        if cfg.predictor.use_timestamp:
+            us_alphas = cif.upsampled_alphas(params["predictor"], enc,
+                                             cfg.predictor, mask,
+                                             token_num=token_num)
+            us_peak = cif.peaks_from_alphas(us_alphas,
+                                            cfg.predictor.threshold - 1e-4)
+        return logits, token_num, alphas, us_alphas, us_peak
+
+    logits, token_num, alphas, us_alphas, us_peak = tail(
+        params, cfg, enc, jnp.asarray(lengths, jnp.int32), max_tokens)
+    return ParaformerOutput(logits=logits, token_num=token_num, enc=enc,
+                            alphas=alphas, us_alphas=us_alphas,
+                            us_cif_peak=us_peak)
+
+
 def greedy_ids(out: ParaformerOutput):
     """Argmax token ids [B, U] + token counts [B] (GreedySearch role,
     paraformer.cpp:386-408; detokenization lives in text/vocab.py)."""

@@ -61,10 +61,14 @@ def _fsmn_halo(p, x, axis: str):
     return x + out
 
 
-def _attention_sp(p, x, heads: int, axis: str):
-    """Self-attention with local q, all-gathered k/v."""
+def _attention_sp(p, x, heads: int, axis: str, mask=None):
+    """Self-attention with local q, all-gathered k/v. mask: local [B, t]
+    (1 = valid) — all-gathered for the score mask, applied locally to v
+    before the FSMN conv (fsmn_apply semantics)."""
     qkv = dense(p["qkv"], x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
+    if mask is not None:
+        v = v * mask[..., None].astype(v.dtype)
     mem = _fsmn_halo(p["fsmn"], v, axis)
     kg = jax.lax.all_gather(k, axis, axis=1, tiled=True)
     vg = jax.lax.all_gather(v, axis, axis=1, tiled=True)
@@ -74,32 +78,45 @@ def _attention_sp(p, x, heads: int, axis: str):
     vh = _split_heads(vg, heads)
     scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh,
                         preferred_element_type=jnp.float32) / math.sqrt(d_k)
+    if mask is not None:
+        gmask = jax.lax.all_gather(mask, axis, axis=1, tiled=True)
+        scores = jnp.where(gmask[:, None, None, :] > 0, scores, -1e30)
     att = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bhts,bhsd->bhtd", att, vh)
     return dense(p["out"], _merge_heads(ctx)) + mem
 
 
-def _block_sp(layer, x, heads, residual, axis):
+def _block_sp(layer, x, heads, residual, axis, mask=None):
     from asr2pass_tpu.models.layers import ffn
 
-    h = _attention_sp(layer["att"], layer_norm(layer["ln1"], x), heads, axis)
+    h = _attention_sp(layer["att"], layer_norm(layer["ln1"], x), heads,
+                      axis, mask)
     x = x + h if residual else h
     x = x + ffn(layer["ffn"], layer_norm(layer["ln2"], x))
+    if mask is not None:
+        x = x * mask[..., None].astype(x.dtype)
     return x
 
 
 def encode_sequence_parallel(params, feats, cfg: EncoderConfig, mesh: Mesh,
-                             axis: str = "dp"):
+                             axis: str = "dp", lengths=None):
     """[B, T, input_size] -> [B, T, d] with T sharded over `axis`.
 
-    T must divide the axis size. No padding mask (full segments)."""
+    T must divide the axis size. lengths [B] enables right-padding masks
+    (serving: long segments are padded up to a multiple of the axis)."""
     d_model = cfg.output_size
     heads = cfg.attention_heads
     t = feats.shape[1]
     n = mesh.shape[axis]
     assert t % n == 0, f"T={t} must divide axis size {n}"
+    import numpy as np
 
-    def fn(params, x):
+    if lengths is None:
+        lengths = np.full((feats.shape[0],), t, np.int32)
+    mask_full = (np.arange(t)[None, :]
+                 < np.asarray(lengths)[:, None]).astype(np.float32)
+
+    def fn(params, x, mask):
         idx = jax.lax.axis_index(axis)
         local_t = x.shape[1]
         # absolute positions for this shard
@@ -109,17 +126,22 @@ def encode_sequence_parallel(params, feats, cfg: EncoderConfig, mesh: Mesh,
         h = x * jnp.asarray(math.sqrt(d_model), x.dtype) + \
             pe_local[None].astype(x.dtype)
         h = _block_sp(params["first"], h, heads,
-                      residual=(x.shape[-1] == d_model), axis=axis)
+                      residual=(x.shape[-1] == d_model), axis=axis,
+                      mask=mask)
         if params["rest"] is not None:
             nlayers = jax.tree.leaves(params["rest"])[0].shape[0]
             for i in range(nlayers):
                 layer = jax.tree.map(lambda a: a[i], params["rest"])
-                h = _block_sp(layer, h, heads, residual=True, axis=axis)
+                h = _block_sp(layer, h, heads, residual=True, axis=axis,
+                              mask=mask)
         return layer_norm(params["after_norm"], h)
 
     from jax import shard_map as _sm
 
-    sharded = _sm(fn, mesh=mesh, in_specs=(P(), P(None, axis, None)),
+    sharded = _sm(fn, mesh=mesh,
+                  in_specs=(P(), P(None, axis, None), P(None, axis)),
                   out_specs=P(None, axis, None))
     feats = jax.device_put(feats, NamedSharding(mesh, P(None, axis, None)))
-    return sharded(params, feats)
+    mask_full = jax.device_put(
+        mask_full, NamedSharding(mesh, P(None, axis)))
+    return sharded(params, feats, mask_full)

@@ -61,7 +61,8 @@ def _hw_bucket(n: int) -> int:
 
 class ParaformerOffline:
     def __init__(self, params, cfg: ParaformerConfig, vocab: Vocab,
-                 cmvn=None, lm_decoder=None):
+                 cmvn=None, lm_decoder=None, sp_mesh=None,
+                 sp_axis: str = "sp", sp_threshold: int = 1024):
         self.params = params
         self.cfg = cfg
         self.vocab = vocab
@@ -69,6 +70,28 @@ class ParaformerOffline:
         # optional LM beam decoder (BeamSearch/WfstDecoder path,
         # paraformer.cpp:410-419); greedy otherwise
         self.lm_decoder = lm_decoder
+        # optional sequence parallelism (SURVEY §5 long-context): segments
+        # longer than sp_threshold LFR frames (~61 s at 60 ms/frame) run
+        # the encoder TIME-sharded over sp_mesh instead of being limited
+        # to what one chip's HBM/latency tolerates. Wins when segments are
+        # minutes long AND idle chips exist; for the common <=60 s VAD
+        # segments the bucketed single-chip batches are faster (no
+        # all-gather/halo traffic), so this only triggers past the
+        # largest standard bucket.
+        self.sp_mesh = sp_mesh
+        self.sp_axis = sp_axis
+        self.sp_threshold = sp_threshold
+
+    def _forward_sp(self, feats: np.ndarray, length: int):
+        """One long segment through the sequence-parallel path; T padded
+        to a multiple of the mesh axis."""
+        n = self.sp_mesh.shape[self.sp_axis]
+        t = -(-feats.shape[0] // (n * 64)) * (n * 64)
+        batch = np.zeros((1, t, feats.shape[1]), np.float32)
+        batch[0, : feats.shape[0]] = feats
+        return paraformer.apply_sp(
+            self.params, self.cfg, jnp.asarray(batch), [length],
+            self.sp_mesh, axis=self.sp_axis, max_tokens=t // 2 + 8)
 
     def _forward(self, feats_batch: np.ndarray, lengths: List[int],
                  hw_batch: Optional[np.ndarray] = None,
@@ -120,11 +143,17 @@ class ParaformerOffline:
             return self.lm_decoder
 
         results: List[Optional[Tuple[str, List[List[float]]]]] = [None] * len(feats)
-        # group indices by (feature bucket, hotword batching key)
+        # group indices by (feature bucket, hotword batching key); segments
+        # past the SP threshold take the sequence-parallel path solo
         groups = {}
+        sp_idxs = []
         for i, f in enumerate(feats):
             if f.shape[0] == 0:
                 results[i] = ("", [])
+                continue
+            if (self.sp_mesh is not None
+                    and f.shape[0] > self.sp_threshold):
+                sp_idxs.append(i)
                 continue
             hw = hw_embs[i]
             hw_key = 0 if hw is None else _hw_bucket(hw.shape[0])
@@ -132,6 +161,10 @@ class ParaformerOffline:
         chunks = [(bucket, hw_key, idxs[j: j + _MAX_BATCH])
                   for (bucket, hw_key), idxs in groups.items()
                   for j in range(0, len(idxs), _MAX_BATCH)]
+        for i in sp_idxs:
+            out = self._forward_sp(feats[i], feats[i].shape[0])
+            results[i] = self._postprocess_one(
+                out, 0, feats[i].shape[0], lm_for(i))
         for bucket, hw_key, idxs in chunks:
             bb = _batch_bucket(len(idxs))
             batch = np.zeros((bb, bucket, self.cfg.frontend.lfr_dim),
@@ -197,6 +230,36 @@ class ParaformerOffline:
                 else:
                     results[i] = (self.vocab.to_string(tok_ids), [])
         return [r if r is not None else ("", []) for r in results]
+
+    def _postprocess_one(self, out, k: int, length: int, lm):
+        """Greedy/LM + timestamp post-processing for row k of a forward
+        (the SP path decodes one long segment at a time)."""
+        ids, counts = paraformer.greedy_ids(out)
+        ids = np.asarray(ids)
+        n = int(np.asarray(counts)[k])
+        tok_ids = [int(x) for x in ids[k, :n]]
+        lm_text = None
+        if lm is not None and n > 0:
+            rows = np.asarray(out.logits, np.float32)[k, :n]
+            rows = rows - _logsumexp_rows(rows)
+            lm.start_utterance()
+            lm_text = lm.decode(rows, self.vocab.id2token)
+            if not self.cfg.predictor.use_timestamp:
+                return (lm_text, [])
+        if self.cfg.predictor.use_timestamp:
+            char_list = self.vocab.to_char_list(tok_ids)
+            us_alphas = np.asarray(out.us_alphas)[k, : length * 3]
+            us_peak = np.asarray(out.us_cif_peak)[k, : length * 3]
+            _, _, token_ts = ts_mod.timestamp_from_peaks(
+                us_alphas, us_peak, list(char_list))
+            text, merged = ts_mod.post_process(char_list, token_ts)
+            if lm_text is not None and lm_text != text:
+                sm = ts_mod.timestamp_smooth(text, lm_text, merged)
+                if sm:
+                    merged = sm
+                text = lm_text
+            return (text, merged)
+        return (self.vocab.to_string(tok_ids), [])
 
     def recognize(self, samples: np.ndarray,
                   hw_emb: Optional[np.ndarray] = None

@@ -60,6 +60,13 @@ class ServerModels:
     lm_weight: float = 0.5
     # server-side hotwords merged with per-connection ones
     server_hotwords: Any = None
+    # sequence parallelism for very-long offline segments (SURVEY §5
+    # long-context): a jax.sharding.Mesh + axis name; segments longer than
+    # sp_threshold LFR frames run the encoder TIME-sharded over it
+    # (parallel/sequence.py). None = single-chip bucketed batches only.
+    sp_mesh: Any = None
+    sp_axis: str = "sp"
+    sp_threshold: int = 1024
 
     def _punctuator(self) -> Optional[Punctuator]:
         if self.punc_params is None:
@@ -177,6 +184,8 @@ class ServerModels:
                 self.asr_params, self.asr_cfg, self.vocab,
                 cmvn=self.asr_cmvn,
                 lm_decoder=self._make_lm_decoder(hotwords),
+                sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
+                sp_threshold=self.sp_threshold,
             )
         return OfflineRecognizer(
             asr, vad_params=self.vad_params, vad_cfg=self.vad_cfg,

@@ -53,6 +53,14 @@ def main():
                    help="max per-connection offline upload size (MB)")
     p.add_argument("--certfile", default="")
     p.add_argument("--keyfile", default="")
+    p.add_argument("--sp-devices", type=int, default=0,
+                   help="shard offline segments longer than --sp-threshold"
+                        " LFR frames over this many devices (sequence "
+                        "parallelism; 0 = off). Lets a request exceed the "
+                        "single-chip 61 s bucket without VAD force-cuts.")
+    p.add_argument("--sp-threshold", type=int, default=1024,
+                   help="LFR frames (60 ms each) above which segments "
+                        "take the sequence-parallel path")
     p.add_argument("--demo", action="store_true",
                    help="random tiny models (protocol testing)")
     p.add_argument("--cpu", action="store_true",
@@ -160,6 +168,15 @@ def main():
                 if parts and parts[0]:
                     hws[parts[0]] = 20
         models.server_hotwords = hws
+
+    if args.sp_devices:
+        import jax as _jax
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        devs = _jax.devices()[: args.sp_devices]
+        models.sp_mesh = Mesh(_np.array(devs), ("sp",))
+        models.sp_threshold = args.sp_threshold
 
     ssl_ctx = None
     if args.certfile:
