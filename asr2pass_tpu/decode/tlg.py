@@ -88,12 +88,25 @@ class TlgDecoder:
         rows[:, valid] = log_probs[:, self._gather[valid]]
         return rows
 
+    def accept_rows(self, log_probs: np.ndarray) -> None:
+        """Feed per-token log-prob rows incrementally (AcceptLoglikes +
+        AdvanceDecoding, wfst-decoder.cpp:27-57): call repeatedly between
+        chunks, read partial_text() in between, finish with
+        decode_nbest([])/finalize."""
+        for row in self._rows_to_ilabel(np.asarray(log_probs, np.float32)):
+            self._dec.step(row)
+
+    def partial_text(self) -> str:
+        """Current best hypothesis mid-utterance (partial best path) —
+        the reference emits these per chunk before FinalizeDecode."""
+        word_ids = self._dec.partial()
+        return "".join(self.id2word.get(w, "") for w in word_ids)
+
     def decode_nbest(self, log_probs: np.ndarray, n: int = 1
                      ) -> List[Tuple[str, float]]:
         """log_probs: [U, vocab] per-token rows (AcceptLoglikes role).
         Returns [(text, cost)] best-first."""
-        for row in self._rows_to_ilabel(np.asarray(log_probs, np.float32)):
-            self._dec.step(row)
+        self.accept_rows(log_probs)
         res = self._dec.nbest(n)
         out = []
         for word_ids, cost in res:

@@ -88,6 +88,8 @@ def _load():
     lib.a2p_tlg_free.argtypes = [ctypes.c_void_p]
     lib.a2p_tlg_start.argtypes = [ctypes.c_void_p]
     lib.a2p_tlg_step.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int64]
+    lib.a2p_tlg_partial.restype = ctypes.c_int64
+    lib.a2p_tlg_partial.argtypes = [ctypes.c_void_p, i32p, ctypes.c_int64]
     lib.a2p_tlg_nbest.restype = ctypes.c_int64
     lib.a2p_tlg_nbest.argtypes = [ctypes.c_void_p, ctypes.c_int32, i32p,
                                   ctypes.c_int64, f32p]
@@ -383,6 +385,16 @@ class NativeTlgFstDecoder:
         row = np.ascontiguousarray(logp_by_ilabel, np.float32)
         self._lib.a2p_tlg_step(ctypes.c_void_p(self.ptr), _f32(row),
                                len(row))
+
+    def partial(self) -> List[int]:
+        """Best live hypothesis mid-utterance (partial best path,
+        wfst-decoder.cpp:27-57 role) — call between step()s."""
+        cap = 1 << 16
+        out = np.empty(cap, np.int32)
+        got = self._lib.a2p_tlg_partial(
+            ctypes.c_void_p(self.ptr),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
+        return [int(x) for x in out[:max(got, 0)]]
 
     def nbest(self, n: int = 1) -> List[Tuple[List[int], float]]:
         cap = 1 << 16

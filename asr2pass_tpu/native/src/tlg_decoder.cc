@@ -203,6 +203,25 @@ static int64_t backtrace(const A2pTlg* d, int64_t hyp, int32_t* out,
   return (int64_t)rev.size();
 }
 
+// Partial best path mid-utterance: the best LIVE token regardless of
+// finality (LatticeFasterOnlineDecoder::GetBestPath with
+// use_final_probs=false — the reference emits these between chunks,
+// wfst-decoder.cpp:27-57). Does not modify decoder state beyond the
+// epsilon closure (idempotent).
+extern "C" int64_t a2p_tlg_partial(A2pTlg* d, int32_t* out, int64_t cap) {
+  eps_closure(d);
+  float best = kInf;
+  int64_t bk = -1;
+  for (auto& kv : d->cur.toks) {
+    if (kv.second.cost < best) {
+      best = kv.second.cost;
+      bk = kv.first;
+    }
+  }
+  if (bk < 0) return 0;
+  return backtrace(d, d->cur.toks[bk].hyp, out, cap);
+}
+
 // nbest over distinct final tokens; returns count written. out is
 // flattened word ids with -1 separators; scores[i] = total cost.
 extern "C" int64_t a2p_tlg_nbest(A2pTlg* d, int32_t nbest, int32_t* out,

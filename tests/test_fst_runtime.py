@@ -195,6 +195,56 @@ def test_tlg_decoder_best_path_and_nbest(tmp_path):
         assert res[1][1] >= cost
 
 
+def test_tlg_decoder_partial_best_path(tmp_path):
+    """Chunked/partial decoding surface (wfst-decoder.cpp:27-57 role):
+    log-probs accepted incrementally, partial best path readable between
+    chunks, final nbest unchanged by the mid-utterance queries."""
+    p = _toy_tlg(tmp_path)
+    fst = bindings.NativeFst(p)
+    dec = bindings.NativeTlgFstDecoder(fst, beam=10.0)
+    dec.start_utterance()
+    lp = math.log
+    assert dec.partial() == []                       # nothing yet
+    dec.step(np.array([-99, lp(0.8), lp(0.1), lp(0.1)], np.float32))
+    # mid-utterance: best live path is inside word AB — no olabel emitted
+    first = dec.partial()
+    dec.step(np.array([-99, lp(0.1), lp(0.8), lp(0.1)], np.float32))
+    assert dec.partial() == [1]                      # AB now committed
+    dec.step(np.array([-99, lp(0.05), lp(0.05), lp(0.9)], np.float32))
+    assert dec.partial() == [1, 2]                   # AB C
+    words, _ = dec.nbest(1)[0]
+    assert words == [1, 2]
+    assert first == [] or first == [1]
+
+
+def test_tlg_python_incremental_api(tmp_path):
+    """TlgDecoder.accept_rows/partial_text: the chunked surface through
+    the Python wrapper with token-id mapping."""
+    import os
+
+    from asr2pass_tpu.decode.tlg import TlgDecoder
+
+    gdir = tmp_path / "graph"
+    gdir.mkdir()
+    b = FstBuilder()
+    e1 = b.add_string(b.start, [1, 2], [1], w=0.1)
+    b.set_final(e1)
+    b.add_arc(e1, 0, 0, 0.0, b.start)
+    b.write(str(gdir / "TLG.fst"))
+    (gdir / "tokens.txt").write_text("<eps> 0\nx 1\ny 2\n")
+    (gdir / "words.txt").write_text("<eps> 0\nXY 1\n")
+    dec = TlgDecoder(str(gdir), token2id={"x": 5, "y": 6}, lm_weight=1.0)
+    dec.start_utterance()
+    rows = np.full((2, 8), -20.0, np.float32)
+    rows[0, 5] = -0.1
+    rows[1, 6] = -0.1
+    dec.accept_rows(rows[:1])
+    assert dec.partial_text() in ("", "XY")
+    dec.accept_rows(rows[1:])
+    assert dec.partial_text() == "XY"
+    assert dec.decode_nbest(np.zeros((0, 8), np.float32))[0][0] == "XY"
+
+
 def test_tlg_decoder_hotword_bias(tmp_path):
     """The AC bias hook flips the decision for ambiguous frames — the
     SetBiasLm role (kaldi lattice-faster-decoder.cc:803-815 hook)."""
