@@ -308,8 +308,14 @@ class AsrWsServer:
         self.engine.feed(st.engine_sid, samples, is_final)
         if is_final:
             st.engine_final = True
+        self._engine_wakeup.set()
 
     async def _engine_loop(self):
+        """Engine driver. Event-driven, not busy-polling: when no slot has
+        work and nothing is in flight, the loop parks on a wakeup event
+        that feed() sets — no 5-20 ms wakeups scanning idle slots (scales
+        to the capacities the pipelined tick unlocks). A short timed wait
+        remains only while the async pass-2 lane may still post results."""
         loop = asyncio.get_running_loop()
         while True:
             has_work = self.engine is not None and (
@@ -348,7 +354,20 @@ class AsrWsServer:
                             "is_final": True})
                     except Exception:
                         pass
-            await asyncio.sleep(0.005 if has_work else 0.02)
+            if has_work:
+                await asyncio.sleep(0.005)  # yield between ticks
+            else:
+                # pass-2 lane may still be decoding for some slot: keep a
+                # timed poll; otherwise park until the next feed()
+                p2_busy = any(s.active and s.p2_inflight
+                              for s in self.engine.slots)
+                self._engine_wakeup.clear()
+                try:
+                    await asyncio.wait_for(
+                        self._engine_wakeup.wait(),
+                        timeout=0.02 if p2_busy else None)
+                except asyncio.TimeoutError:
+                    pass
 
     async def handler(self, ws):
         st = ConnectionState()
@@ -383,6 +402,7 @@ class AsrWsServer:
             await asyncio.get_running_loop().run_in_executor(
                 self.executor, self.engine.warmup)
             self._engine_lock = asyncio.Lock()
+            self._engine_wakeup = asyncio.Event()
             self._engine_task = asyncio.get_running_loop().create_task(
                 self._engine_loop())
         # transport frame cap is a backstop sized above the upload cap so a
