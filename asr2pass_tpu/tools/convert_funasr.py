@@ -403,6 +403,20 @@ def verify_against_onnx(src: str, params, kind: str, tol: float = 1e-3,
                                     cfg=cfg.decoder)
         diff = float(np.abs(onnx_logits[0]
                             - np.asarray(logits)[0, :u]).max())
+        if len(onnx_out) >= 4 and "us_cnn" in params["predictor"]:
+            # 4-output timestamp layout (paraformer.cpp:549): us_alphas +
+            # us_cif_peak from the bicif head, rescaled by the graph's
+            # float token count (sum of alphas incl. the tail fire)
+            tn_float = jnp.sum(alphas, axis=-1) + cfg.predictor.tail_threshold
+            us_a = cif.upsampled_alphas(params["predictor"], enc,
+                                        cfg.predictor, mask,
+                                        token_num=tn_float)
+            us_p = cif.peaks_from_alphas(us_a,
+                                         cfg.predictor.threshold - 1e-4)
+            diff = max(diff, float(np.abs(
+                np.asarray(onnx_out[2]) - np.asarray(us_a)).max()))
+            diff = max(diff, float(np.abs(
+                np.asarray(onnx_out[3]) - np.asarray(us_p)).max()))
     elif kind == "punc":
         from asr2pass_tpu import config as cfg_mod
         from asr2pass_tpu.models import ct_transformer

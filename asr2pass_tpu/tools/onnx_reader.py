@@ -352,8 +352,13 @@ class OnnxExecutor:
                                          if len(i) > 1 else None)
                 out = jnp.squeeze(get(i[0]), tuple(axes) if axes else None)
             elif t == "Reshape":
+                x = get(i[0])
                 shape = [int(v) for v in np.asarray(get(i[1])).tolist()]
-                out = jnp.reshape(get(i[0]), shape)
+                if not a.get("allowzero"):
+                    # ONNX: a 0 entry copies the corresponding input dim
+                    shape = [jnp.shape(x)[k] if d == 0 else d
+                             for k, d in enumerate(shape)]
+                out = jnp.reshape(x, shape)
             elif t == "Concat":
                 out = jnp.concatenate([get(n) for n in i],
                                       axis=int(a.get("axis", 0)))
@@ -530,6 +535,16 @@ class OnnxExecutor:
                 else:
                     idx = np.cumsum(sizes)[:-1].tolist()
                     out = tuple(jnp.split(x, idx, axis=ax))
+            elif t == "ConvTranspose":
+                out = self._conv_transpose(
+                    get(i[0]), get(i[1]),
+                    get(i[2]) if len(i) > 2 else None, a)
+            elif t == "LSTM":
+                out = self._lstm(get(i[0]), get(i[1]), get(i[2]),
+                                 get(i[3]) if len(i) > 3 and i[3] else None,
+                                 get(i[5]) if len(i) > 5 and i[5] else None,
+                                 get(i[6]) if len(i) > 6 and i[6] else None,
+                                 a)
             else:
                 raise NotImplementedError(f"ONNX op {t} "
                                           f"(node {node.name!r})")
@@ -569,6 +584,98 @@ class OnnxExecutor:
             out = out + jnp.asarray(b).reshape(
                 (1, -1) + (1,) * spatial)
         return out
+
+    @staticmethod
+    def _conv_transpose(x, w, b, a):
+        """NCW/NCHW ConvTranspose: conv with lhs dilation = stride on the
+        spatially-flipped, in/out-swapped kernel (ONNX weight layout is
+        [in, out/groups, *k])."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        x = jnp.asarray(x)
+        w = jnp.asarray(w)
+        spatial = w.ndim - 2
+        strides = [int(s) for s in a.get("strides", [1] * spatial)]
+        pads = a.get("pads", [0] * (2 * spatial))
+        opad = [int(v) for v in a.get("output_padding", [0] * spatial)]
+        k = w.shape[2:]
+        # flip spatial, swap I/O -> a normal conv kernel
+        wf = jnp.flip(w, axis=tuple(range(2, w.ndim)))
+        wf = jnp.swapaxes(wf, 0, 1)
+        padding = [(k[d] - 1 - int(pads[d]),
+                    k[d] - 1 - int(pads[d + spatial]) + opad[d])
+                   for d in range(spatial)]
+        dn = lax.conv_dimension_numbers(
+            x.shape, wf.shape,
+            ("NCHW", "OIHW", "NCHW") if spatial == 2 else
+            ("NCW", "OIW", "NCW"))
+        out = lax.conv_general_dilated(
+            x, wf, window_strides=[1] * spatial, padding=padding,
+            lhs_dilation=strides, dimension_numbers=dn,
+            feature_group_count=int(a.get("group", 1)))
+        if b is not None:
+            out = out + jnp.asarray(b).reshape((1, -1) + (1,) * spatial)
+        return out
+
+    @staticmethod
+    def _lstm(X, W, R, B, h0, c0, a):
+        """ONNX LSTM (gate order i,o,f,c): X [T, N, I], W [D, 4H, I],
+        R [D, 4H, H], B [D, 8H]. Returns (Y [T, D, N, H], Y_h, Y_c)."""
+        import jax
+        import jax.numpy as jnp
+
+        X = jnp.asarray(X)
+        W = jnp.asarray(W)
+        R = jnp.asarray(R)
+        hidden = int(a.get("hidden_size", R.shape[-1]))
+        direction = a.get("direction") or b"forward"
+        direction = (direction.decode()
+                     if isinstance(direction, bytes) else direction)
+        t, n, _ = X.shape
+        dirs = W.shape[0]
+
+        def run(x_seq, w, r, bias, h, c):
+            wi, wo, wf, wc = jnp.split(w, 4, axis=0)
+            ri, ro, rf, rc = jnp.split(r, 4, axis=0)
+            if bias is not None:
+                bw = bias[: 4 * hidden]
+                br = bias[4 * hidden:]
+                bi, bo, bf, bc = [bw[k * hidden:(k + 1) * hidden]
+                                  + br[k * hidden:(k + 1) * hidden]
+                                  for k in range(4)]
+            else:
+                bi = bo = bf = bc = jnp.zeros((hidden,), X.dtype)
+            ys = []
+            for step in range(x_seq.shape[0]):
+                xt = x_seq[step]
+                it = jax.nn.sigmoid(xt @ wi.T + h @ ri.T + bi)
+                ot = jax.nn.sigmoid(xt @ wo.T + h @ ro.T + bo)
+                ft = jax.nn.sigmoid(xt @ wf.T + h @ rf.T + bf)
+                ct = jnp.tanh(xt @ wc.T + h @ rc.T + bc)
+                c = ft * c + it * ct
+                h = ot * jnp.tanh(c)
+                ys.append(h)
+            return jnp.stack(ys), h, c
+
+        outs, hs, cs = [], [], []
+        for d in range(dirs):
+            rev = (direction == "reverse") or (d == 1)
+            x_seq = X[::-1] if rev else X
+            h = (jnp.asarray(h0)[d] if h0 is not None
+                 else jnp.zeros((n, hidden), X.dtype))
+            c = (jnp.asarray(c0)[d] if c0 is not None
+                 else jnp.zeros((n, hidden), X.dtype))
+            y, h, c = run(x_seq, W[d], R[d],
+                          jnp.asarray(B)[d] if B is not None else None,
+                          h, c)
+            if rev:
+                y = y[::-1]
+            outs.append(y)
+            hs.append(h)
+            cs.append(c)
+        Y = jnp.stack(outs, axis=1)          # [T, D, N, H]
+        return Y, jnp.stack(hs), jnp.stack(cs)
 
     @staticmethod
     def _pool(x, a, reducer="max"):

@@ -136,6 +136,40 @@ def test_verify_catches_wrong_weights(asr_model_dir):
         verify_against_onnx(str(src), params, "asr")
 
 
+def test_convert_verify_timestamp_4_output(tmp_path):
+    """The 4-output timestamp layout (logits, token_num, us_alphas,
+    us_cif_peak — paraformer.cpp:549): BLSTM + ConvTranspose ride the
+    executor's LSTM/ConvTranspose ops; the converted bicif head must
+    reproduce the executed graph."""
+    from asr2pass_tpu.tools import convert_funasr
+
+    rng = np.random.default_rng(5)
+    sd = make_state_dict(rng, timestamp=True, **DIMS)
+    src = tmp_path / "ts_src"
+    src.mkdir()
+    m = TorchParaformer(d_in=DIMS["d_in"], d_model=DIMS["d_model"],
+                        enc_blocks=DIMS["enc_blocks"],
+                        dec_blocks=DIMS["dec_blocks"], heads=HEADS,
+                        ffn=DIMS["ffn_dim"], vocab=DIMS["vocab"],
+                        timestamp=True)
+    load_numpy_state_dict(m, sd)
+    m.eval()
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               src / "model.pt")
+    feats = torch.randn(1, T, DIMS["d_in"])
+    lens = torch.tensor([T], dtype=torch.int64)
+    export_onnx(m, (feats, lens), str(src / "model.onnx"),
+                ["speech", "speech_lengths"],
+                ["logits", "token_num", "us_alphas", "us_cif_peak"])
+    (src / "config.yaml").write_text(ASR_YAML.replace(
+        "predictor_conf:\n",
+        "predictor_conf:\n  use_timestamp: true\n"))
+    dst = tmp_path / "ts_dst"
+    rc = convert_funasr.main([str(src), str(dst), "--verify",
+                              "--verify-tol", "5e-3"])
+    assert rc == 0
+
+
 def test_fetch_model_local_dir(asr_model_dir, tmp_path):
     """fetch_model on an existing local dir: skips the network, converts,
     verifies — the offline-friendly provisioning path (reference

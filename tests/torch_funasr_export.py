@@ -134,8 +134,13 @@ class SANMEncoder(nn.Module):
 
 
 class CifPredictorV2(nn.Module):
+    """V2 = alphas + fire; timestamp=True adds the V3 bicif upsample head
+    (upsample_cnn -> BLSTM -> cif_output2 -> integrate trace), the
+    4-output ONNX layout the reference reads at paraformer.cpp:549."""
+
     def __init__(self, d_model, l_order=1, r_order=1, threshold=1.0,
-                 tail_threshold=0.45):
+                 tail_threshold=0.45, timestamp=False, upsample_times=3,
+                 smooth_factor2=0.25, noise_threshold2=0.01):
         super().__init__()
         self.pad = nn.ConstantPad1d((l_order, r_order), 0.0)
         self.cif_conv1d = nn.Conv1d(d_model, d_model,
@@ -143,6 +148,32 @@ class CifPredictorV2(nn.Module):
         self.cif_output = nn.Linear(d_model, 1)
         self.threshold = threshold
         self.tail_threshold = tail_threshold
+        self.timestamp = timestamp
+        if timestamp:
+            self.upsample_times = upsample_times
+            self.smooth_factor2 = smooth_factor2
+            self.noise_threshold2 = noise_threshold2
+            self.upsample_cnn = nn.ConvTranspose1d(
+                d_model, d_model, upsample_times, upsample_times)
+            self.blstm = nn.LSTM(d_model, d_model // 2, 1,
+                                 bias=True, batch_first=True,
+                                 bidirectional=True)
+            self.cif_output2 = nn.Linear(d_model, 1)
+
+    def get_upsample_timestamp(self, enc, token_num):
+        """CifPredictorV3.get_upsample_timestmap semantics: shared cif
+        conv (relu, NO residual) -> ConvTranspose x3 -> BLSTM -> linear ->
+        sigmoid -> relu(a*smooth2 - noise2) -> rescale to token_num ->
+        pre-reset integrate trace."""
+        ctx = enc.transpose(1, 2)
+        h = torch.relu(self.cif_conv1d(self.pad(ctx)))
+        us = self.upsample_cnn(h).transpose(1, 2)
+        us, _ = self.blstm(us)
+        a = torch.sigmoid(self.cif_output2(us)).squeeze(-1)
+        a = torch.relu(a * self.smooth_factor2 - self.noise_threshold2)
+        a = a * (token_num.unsqueeze(-1)
+                 / torch.clamp(a.sum(-1, keepdim=True), min=1e-6))
+        return a, cif_wo_hidden(a, self.threshold - 1e-4)
 
     def forward(self, enc, mask=None):
         ctx = enc.transpose(1, 2)
@@ -199,6 +230,19 @@ def cif(hidden, alphas, threshold):
         pad_l = torch.zeros(pad_n, hidden_size)
         list_ls.append(torch.cat([frames_sel, pad_l], 0)[:max_label_len])
     return torch.stack(list_ls, 0), fires
+
+
+def cif_wo_hidden(alphas, threshold):
+    """FunASR cif_wo_hidden: the pre-reset integrate trace (us_cif_peak)."""
+    batch = alphas.shape[0]
+    integrate = torch.zeros(batch)
+    traces = []
+    for t in range(alphas.shape[1]):
+        integrate = integrate + alphas[:, t]
+        traces.append(integrate)
+        integrate = torch.where(integrate >= threshold,
+                                integrate - threshold, integrate)
+    return torch.stack(traces, 1)
 
 
 class DecoderLayerSANM(nn.Module):
@@ -301,13 +345,14 @@ class TorchParaformer(nn.Module):
     decoder.decoders.N..., decoder.decoders3.0, decoder.output_layer)."""
 
     def __init__(self, d_in, d_model, enc_blocks, dec_blocks, heads, ffn,
-                 vocab, kernel=11):
+                 vocab, kernel=11, timestamp=False):
         super().__init__()
         self.encoder = SANMEncoder(d_in, d_model, enc_blocks, heads, ffn,
                                    kernel)
-        self.predictor = CifPredictorV2(d_model)
+        self.predictor = CifPredictorV2(d_model, timestamp=timestamp)
         self.decoder = ParaformerSANMDecoder(d_model, dec_blocks, heads,
                                              ffn, kernel, vocab)
+        self.timestamp = timestamp
 
     def forward(self, speech, speech_lengths):
         enc = self.encoder(speech)
@@ -316,6 +361,10 @@ class TorchParaformer(nn.Module):
                 < speech_lengths.unsqueeze(-1)).float()
         acoustic_embeds, token_num, _, _ = self.predictor(enc, mask)
         logits = self.decoder(acoustic_embeds, enc)
+        if self.timestamp:
+            us_alphas, us_cif_peak = self.predictor.get_upsample_timestamp(
+                enc, token_num)
+            return logits, token_num, us_alphas, us_cif_peak
         return logits, token_num
 
 
