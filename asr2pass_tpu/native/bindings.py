@@ -93,6 +93,22 @@ def _load():
     lib.a2p_tlg_nbest.restype = ctypes.c_int64
     lib.a2p_tlg_nbest.argtypes = [ctypes.c_void_p, ctypes.c_int32, i32p,
                                   ctypes.c_int64, f32p]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.a2p_vad_new.restype = ctypes.c_void_p
+    lib.a2p_vad_new.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_int]
+    lib.a2p_vad_free.argtypes = [ctypes.c_void_p]
+    lib.a2p_vad_reset.argtypes = [ctypes.c_void_p]
+    lib.a2p_vad_overrides.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_double]
+    lib.a2p_vad_chunk.argtypes = [ctypes.c_void_p, f32p, f64p,
+                                  ctypes.c_int32, ctypes.c_int32]
+    lib.a2p_vad_seg_count.restype = ctypes.c_int32
+    lib.a2p_vad_seg_count.argtypes = [ctypes.c_void_p]
+    lib.a2p_vad_seg.argtypes = [ctypes.c_void_p, ctypes.c_int32, i32p]
     _lib = lib
     return _lib
 
@@ -124,6 +140,67 @@ def resample(x: np.ndarray, fs_in: int, fs_out: int,
         fs_in, fs_out, num_zeros,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out[:n]
+
+
+class NativeVad:
+    """E2E VAD decision automaton hot loop (e2e-vad.h role). One instance
+    per stream; vad/e2e_vad.py dispatches its per-frame loop here and keeps
+    decibel extraction + online segment emission in Python."""
+
+    def __init__(self, opts):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native lib unavailable")
+        self._lib = lib
+        self._handle = lib.a2p_vad_new(
+            int(opts.detect_mode), int(opts.max_end_silence_time),
+            int(opts.max_start_silence_time), int(opts.window_size_ms),
+            int(opts.sil_to_speech_time_thres),
+            int(opts.speech_to_sil_time_thres),
+            float(opts.speech_2_noise_ratio), int(opts.do_extend),
+            int(opts.lookback_time_start_point),
+            int(opts.lookahead_time_end_point),
+            int(opts.max_single_segment_time), float(opts.snr_thres),
+            int(opts.noise_frame_num_used_for_snr),
+            float(opts.decibel_thres), float(opts.speech_noise_thres),
+            int(opts.frame_in_ms))
+        self._seg_buf = np.empty(4, np.int32)
+
+    def reset(self):
+        self._lib.a2p_vad_reset(self._handle)
+
+    def overrides(self, max_end_sil=None, max_single_seg=None,
+                  speech_noise_thres=None):
+        self._lib.a2p_vad_overrides(
+            self._handle,
+            -1 if max_end_sil is None else int(max_end_sil),
+            -1 if max_single_seg is None else int(max_single_seg),
+            float("nan") if speech_noise_thres is None
+            else float(speech_noise_thres))
+
+    def chunk(self, sil_prob: np.ndarray, decibel: np.ndarray,
+              is_final: bool):
+        sp = np.ascontiguousarray(sil_prob, np.float32)
+        dec = np.ascontiguousarray(decibel, np.float64)
+        self._lib.a2p_vad_chunk(
+            self._handle, _f32(sp),
+            dec.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            len(sp), 1 if is_final else 0)
+
+    def seg_count(self) -> int:
+        return int(self._lib.a2p_vad_seg_count(self._handle))
+
+    def seg(self, i: int):
+        """(start_ms, end_ms, contain_start, contain_end)"""
+        self._lib.a2p_vad_seg(self._handle, i,
+                              self._seg_buf.ctypes.data_as(
+                                  ctypes.POINTER(ctypes.c_int32)))
+        b = self._seg_buf
+        return int(b[0]), int(b[1]), bool(b[2]), bool(b[3])
+
+    def __del__(self):
+        if getattr(self, "_handle", None) and self._lib:
+            self._lib.a2p_vad_free(self._handle)
 
 
 class NativeAcBias:

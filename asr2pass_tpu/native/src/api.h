@@ -74,6 +74,35 @@ int64_t a2p_lmdec_decode(A2pLmDec* d, const float* rows, int64_t n,
                          int32_t n_skip, int32_t* out_units,
                          int32_t* out_words);
 
+/* ---- E2E VAD decision automaton (e2e-vad.h role) ----
+ * Per-stream utterance state machine; the engine steps one per stream per
+ * tick. Python (vad/e2e_vad.py) keeps decibel extraction and online
+ * segment emission; this owns the per-frame loop (frame state + EMA +
+ * window hysteresis + utterance machine + segment buffer). */
+typedef struct A2pVad A2pVad;
+
+A2pVad* a2p_vad_new(int detect_mode, int max_end_silence_time,
+                    int max_start_silence_time, int window_size_ms,
+                    int sil_to_speech_time_thres,
+                    int speech_to_sil_time_thres, double speech_2_noise_ratio,
+                    int do_extend, int lookback_time_start_point,
+                    int lookahead_time_end_point, int max_single_segment_time,
+                    double snr_thres, int noise_frame_num_used_for_snr,
+                    double decibel_thres, double speech_noise_thres,
+                    int frame_in_ms);
+void a2p_vad_free(A2pVad* v);
+void a2p_vad_reset(A2pVad* v);
+/* Negative int / NaN double = keep current value. */
+void a2p_vad_overrides(A2pVad* v, int max_end_sil_ms, int max_single_seg_ms,
+                       double speech_noise_thres);
+/* One chunk: sil_prob[t] = summed silence-pdf posterior (fp32),
+ * decibel[t] = per-frame decibel (caller clamps history edges). */
+void a2p_vad_chunk(A2pVad* v, const float* sil_prob, const double* decibel,
+                   int32_t t, int32_t is_final);
+int32_t a2p_vad_seg_count(const A2pVad* v);
+/* out4 = {start_ms, end_ms, contain_start, contain_end} */
+void a2p_vad_seg(const A2pVad* v, int32_t i, int32_t* out4);
+
 /* ---- Levenshtein alignment ---- */
 /* a[n], b[m] are int32 symbol ids. ops_out must hold n+m entries.
  * Writes alignment ops: 0=match, 1=substitute, 2=delete(a only),

@@ -15,10 +15,24 @@ engine advances many streams' automatons per step.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence
 
 import numpy as np
+
+
+def _native_vad_enabled() -> bool:
+    """The per-frame decision loop runs in C++ (native/src/e2e_vad.cc) when
+    the native lib is available — the engine steps one automaton per stream
+    per tick and the Python frame loop was the largest host cost of the
+    batched tick. ASR2PASS_NATIVE_VAD=0 forces the Python path (also the
+    parity oracle, tests/test_native.py)."""
+    if os.environ.get("ASR2PASS_NATIVE_VAD", "1") != "1":
+        return False
+    from asr2pass_tpu.native import bindings
+
+    return bindings.available()
 
 # frame states
 SIL = 0
@@ -108,6 +122,11 @@ class E2EVadStateMachine:
             self.opts.speech_to_sil_time_thres,
             self.opts.frame_in_ms,
         )
+        self._native = None
+        if _native_vad_enabled():
+            from asr2pass_tpu.native import bindings
+
+            self._native = bindings.NativeVad(self.opts)
         self._all_reset()
 
     # -- reset ------------------------------------------------------------
@@ -127,11 +146,17 @@ class E2EVadStateMachine:
         self.output_data_buf_offset = 0
         self.scores: Optional[np.ndarray] = None
         self.idx_pre_chunk = 0
-        self.decibel: List[float] = []
+        # decibel history: amortized-growth numpy buffer (frames are
+        # appended every chunk and gathered per chunk — a Python list of
+        # boxed floats was measurable per tick at engine capacities)
+        self._dec_buf = np.empty(1024, np.float64)
+        self._dec_n = 0
         self.speech_noise_thres = self.opts.speech_noise_thres
         self.max_end_sil_frame_cnt_thresh = (
             self.opts.max_end_silence_time - self.opts.speech_to_sil_time_thres
         )
+        if self._native is not None:
+            self._native.reset()
         self._reset_detection()
 
     def _reset_detection(self):
@@ -153,55 +178,82 @@ class E2EVadStateMachine:
 
         Mirrors E2EVadModel::operator() (e2e-vad.h:302-361)."""
         o = self.opts
-        if max_end_sil is not None:
-            self.max_end_sil_frame_cnt_thresh = (
-                max_end_sil - o.speech_to_sil_time_thres
-            )
-        if max_single_segment_time is not None:
-            o.max_single_segment_time = max_single_segment_time
-        if speech_noise_thres is not None:
-            self.speech_noise_thres = speech_noise_thres
-
         self._compute_decibel(np.asarray(waveform, dtype=np.float32))
-        self.scores = np.asarray(scores, dtype=np.float32)
-        block = self.scores.shape[0]
-        self.frm_cnt += block
-        if not is_final:
-            self._detect_common_frames(block)
-        else:
-            self._detect_last_frames(block)
-        self.idx_pre_chunk = self.frm_cnt if not is_final else self.idx_pre_chunk
+        scores = np.asarray(scores, dtype=np.float32)
+        block = scores.shape[0]
 
+        if self._native is not None:
+            self._native.overrides(max_end_sil, max_single_segment_time,
+                                   speech_noise_thres)
+            base = self.frm_cnt
+            self.frm_cnt += block
+            sil = scores[:, list(o.sil_pdf_ids)].sum(-1, dtype=np.float32)
+            self._native.chunk(sil, self._decibel_chunk(base, block),
+                               is_final)
+        else:
+            if max_end_sil is not None:
+                self.max_end_sil_frame_cnt_thresh = (
+                    max_end_sil - o.speech_to_sil_time_thres
+                )
+            if max_single_segment_time is not None:
+                o.max_single_segment_time = max_single_segment_time
+            if speech_noise_thres is not None:
+                self.speech_noise_thres = speech_noise_thres
+            self.scores = scores
+            self.frm_cnt += block
+            if not is_final:
+                self._detect_common_frames(block)
+            else:
+                self._detect_last_frames(block)
+            self.idx_pre_chunk = (self.frm_cnt if not is_final
+                                  else self.idx_pre_chunk)
+
+        out = self._emit(online, is_final)
+        if is_final:
+            self._all_reset()
+        return out
+
+    def _seg_total(self) -> int:
+        if self._native is not None:
+            return self._native.seg_count()
+        return len(self.output_data_buf)
+
+    def _seg_at(self, i: int):
+        """(start_ms, end_ms, contain_start, contain_end)"""
+        if self._native is not None:
+            return self._native.seg(i)
+        s = self.output_data_buf[i]
+        return s.start_ms, s.end_ms, s.contain_start, s.contain_end
+
+    def _emit(self, online: bool, is_final: bool) -> List[List[int]]:
         out: List[List[int]] = []
         i = self.output_data_buf_offset
-        while i < len(self.output_data_buf):
-            seg = self.output_data_buf[i]
+        total = self._seg_total()
+        while i < total:
+            start, end, contain_start, contain_end = self._seg_at(i)
             if online:
-                if not seg.contain_start:
+                if not contain_start:
                     i += 1
                     continue
-                if not self.next_seg and not seg.contain_end:
+                if not self.next_seg and not contain_end:
                     i += 1
                     continue
-                start_ms = seg.start_ms if self.next_seg else -1
-                if seg.contain_end:
-                    end_ms = seg.end_ms
+                start_ms = start if self.next_seg else -1
+                if contain_end:
+                    end_ms = end
                     self.next_seg = True
                     self.output_data_buf_offset += 1
                 else:
                     end_ms = -1
                     self.next_seg = False
             else:
-                if not is_final and not (seg.contain_start and seg.contain_end):
+                if not is_final and not (contain_start and contain_end):
                     i += 1
                     continue
-                start_ms, end_ms = seg.start_ms, seg.end_ms
+                start_ms, end_ms = start, end
                 self.output_data_buf_offset += 1
             out.append([start_ms, end_ms])
             i += 1
-
-        if is_final:
-            self._all_reset()
         return out
 
     # -- internals --------------------------------------------------------
@@ -221,12 +273,28 @@ class E2EVadStateMachine:
         cs = np.concatenate([[0.0], np.cumsum(w * w)])
         starts = np.arange(nf) * fshift
         energy = cs[starts + flen] - cs[starts]
-        self.decibel.extend(10.0 * np.log10(energy + 1e-6))
+        new = 10.0 * np.log10(energy + 1e-6)
+        need = self._dec_n + len(new)
+        if need > len(self._dec_buf):
+            grown = np.empty(max(need, 2 * len(self._dec_buf)), np.float64)
+            grown[: self._dec_n] = self._dec_buf[: self._dec_n]
+            self._dec_buf = grown
+        self._dec_buf[self._dec_n: need] = new
+        self._dec_n = need
 
     def _decibel_at(self, t: int) -> float:
-        if t < len(self.decibel):
-            return self.decibel[t]
-        return self.decibel[-1] if self.decibel else -100.0
+        if t < self._dec_n:
+            return float(self._dec_buf[t])
+        return float(self._dec_buf[self._dec_n - 1]) if self._dec_n else -100.0
+
+    def _decibel_chunk(self, base: int, block: int) -> np.ndarray:
+        """Per-frame decibel for frames [base, base+block), clamped to the
+        last computed value (the scores stream can outrun the waveform
+        stream by a frame at chunk edges)."""
+        if self._dec_n == 0:
+            return np.full(block, -100.0, np.float64)
+        idx = np.minimum(base + np.arange(block), self._dec_n - 1)
+        return self._dec_buf[idx]
 
     def _get_frame_state(self, t: int) -> int:
         o = self.opts
@@ -272,12 +340,7 @@ class E2EVadStateMachine:
         speech_p = np.exp(np.log(np.maximum(1.0 - s, 1e-12)))
         prob_speech = (speech_p >= noise_p
                        + self.speech_noise_thres).tolist()
-        nd = len(self.decibel)
-        if nd == 0:
-            dec = [-100.0] * block
-        else:
-            dec = [self.decibel[min(base + i, nd - 1)]
-                   for i in range(block)]
+        dec = self._decibel_chunk(base, block)
         states = [SIL] * block
         ema = self.noise_average_decibel
         n = o.noise_frame_num_used_for_snr

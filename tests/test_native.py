@@ -59,3 +59,67 @@ def test_native_edit_align():
     assert dist == 0 and all(o == 0 for o in ops)
     ops, dist = bindings.edit_align([], [1, 2])
     assert dist == 2 and ops == [3, 3]
+
+
+def _vad_machine(native: bool):
+    """Build an E2EVadStateMachine pinned to one implementation."""
+    from asr2pass_tpu.vad.e2e_vad import E2EVadStateMachine, VadOptions
+
+    sm = E2EVadStateMachine(VadOptions())
+    if not native:
+        sm._native = None   # force the Python frame loop (the oracle)
+    return sm
+
+
+@pytest.mark.parametrize("online", [False, True])
+def test_native_vad_matches_python(online):
+    """The C++ automaton (e2e_vad.cc) must be decision-identical to the
+    Python port across bursty random streams, chunked feeds, finals, and
+    per-call overrides — segments and their online [s,-1]/[-1,e] splits."""
+    for seed in range(6):
+        rng_a = np.random.default_rng(seed)
+        outs = {True: [], False: []}
+        sms = {True: _vad_machine(True), False: _vad_machine(False)}
+        if sms[True]._native is None:
+            pytest.skip("native VAD unavailable")
+        chunks = []
+        n_chunks = 50
+        for k in range(n_chunks):
+            base = 0.05 if (k % 9) < 5 else 0.95
+            scores = np.clip(base + rng_a.normal(0, 0.1, (64, 3)),
+                             1e-4, 1 - 1e-4).astype(np.float32)
+            amp = 0.2 if base < 0.5 else 0.01
+            wav = rng_a.normal(0, amp, 64 * 160).astype(np.float32)
+            # exercise mid-stream finals (utterance flush + reset) and
+            # per-call overrides on some chunks
+            fin = k in (24, n_chunks - 1)
+            over = ({"max_end_sil": 500, "max_single_segment_time": 5000}
+                    if k % 7 == 3 else {})
+            chunks.append((scores, wav, fin, over))
+        for native in (True, False):
+            sm = sms[native]
+            for scores, wav, fin, over in chunks:
+                outs[native].append(
+                    sm(scores, wav, is_final=fin, online=online, **over))
+        assert outs[True] == outs[False]
+
+
+def test_native_vad_speech_segments():
+    """Sanity: clear speech in silence yields one [start, end] segment with
+    plausible bounds through the native path."""
+    sm = _vad_machine(True)
+    if sm._native is None:
+        pytest.skip("native VAD unavailable")
+    rng = np.random.default_rng(1)
+    segs = []
+    for k in range(30):
+        speech = 5 <= k < 20
+        s = 0.02 if speech else 0.98
+        scores = np.full((64, 1), s, np.float32)
+        wav = rng.normal(0, 0.3 if speech else 0.005, 64 * 160)
+        segs += sm(scores, wav.astype(np.float32),
+                   is_final=(k == 29), online=False)
+    assert len(segs) == 1
+    start, end = segs[0]
+    assert 2500 <= start <= 3600      # speech starts at frame 320 (3200ms)
+    assert 12000 <= end <= 13600      # ends at frame 1280 (12800ms)
