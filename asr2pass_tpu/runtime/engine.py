@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 import queue
+import time
 import threading
 from dataclasses import dataclass, field
 from typing import Any, List
@@ -32,8 +33,7 @@ import numpy as np
 from asr2pass_tpu.frontend.fbank import get_extractor
 from asr2pass_tpu.models import fsmn_vad, paraformer_online
 from asr2pass_tpu.runtime.audio_splitter import TwoPassSplitter
-from asr2pass_tpu.runtime.streaming_frontend import (StreamingFrontend,
-                                                     batched_fbank)
+from asr2pass_tpu.runtime.streaming_frontend import StreamingFrontend
 from asr2pass_tpu.text import timestamps as ts_mod
 from asr2pass_tpu.text.vocab import Vocab
 from asr2pass_tpu.vad.e2e_vad import E2EVadStateMachine, VadOptions
@@ -103,6 +103,89 @@ def _fused_vad_step(fcfg, capacity: int, sil_pdf_ids=(0,)):
     return step, need
 
 
+_P1_FRAMES = 68          # max new mel frames staged per pass-1 round
+
+
+@functools.lru_cache(maxsize=4)
+def _fused_p1_step(ocfg, capacity: int):
+    """One jitted program for the whole pass-1 lane: batched fbank over the
+    staged speech samples -> LFR window gather -> CMVN -> append into a
+    device-resident pending-feats ring -> consume one exact-`center` chunk
+    per slot -> the streaming-Paraformer step.
+
+    Round 2 ran the ASR front-end as its own batched_fbank dispatch whose
+    [cap, T, 80] fp32 mel came BACK to the host every tick — measured at
+    ~256 ms of a ~480 ms tick at 128 slots (device->host on the tunnel is
+    ~30 MB/s; scripts/tick_breakdown.py vd_asr_fbank). Fusing the front-end
+    into the model step means no mel ever crosses the wire: the tick
+    uploads raw samples (host->device is fast) and the only fetch is the
+    tiny [cap, U] token ids, already on the collector thread.
+
+    Host keeps every counter (mel totals, next-LFR-window, ring read/write
+    offsets) — they are exact mirrors of StreamingFrontend's accounting, so
+    outputs match the unfused path bit-for-bit (tests/test_engine.py). The
+    chunk-assembly contract is unchanged: the model consumes exactly
+    `center` rows (or a final partial), same as funasr's 600 ms cadence
+    (reference paraformer-online.cpp:119-238 splice caches)."""
+    fcfg = ocfg.frontend
+    ex = get_extractor(fcfg)
+    nf = _P1_FRAMES
+    need = fcfg.frame_length + (nf - 1) * fcfg.frame_shift
+    left = (fcfg.lfr_m - 1) // 2
+    center = ocfg.chunk_size[1]
+    lfr_dim = fcfg.lfr_m * fcfg.n_mels
+    # max LFR windows emitted per round / mel history / pending-ring rows
+    k_max = nf // fcfg.lfr_n + 2
+    hist = fcfg.lfr_m + fcfg.lfr_n + 8       # > max un-consumed mel rows
+    ring_n = 1
+    while ring_n < k_max + center + 2:
+        ring_n *= 2
+    frame_idx = (np.arange(nf)[:, None] * fcfg.frame_shift
+                 + np.arange(fcfg.frame_length)[None, :])
+
+    @jax.jit
+    def step(params, means, vars_, state, waves, n_new, win_start,
+             total_new, k_emit, fe_finals, ring_woff, consume_start,
+             consume_count, finals, mel_hist, ring):
+        frames = waves[:, frame_idx]                       # [C, nf, flen]
+        mel_new = ex.frames_to_mel(
+            (frames * fcfg.scale_input).reshape(capacity * nf, -1)
+        ).reshape(capacity, nf, -1)
+        combined = jnp.concatenate([mel_hist, mel_new], axis=1)
+        base = total_new - n_new                           # old mel total
+        # LFR windows win_start..win_start+k_emit; taps clamped to valid
+        # mel rows — low clamp gives first-window left-padding, high clamp
+        # gives the final-flush tail repeat (StreamingFrontend._emit_windows)
+        gw = win_start[:, None] + jnp.arange(k_max)[None, :]
+        g = gw[:, :, None] * fcfg.lfr_n + jnp.arange(fcfg.lfr_m) - left
+        g = jnp.clip(g, 0, jnp.maximum(total_new - 1, 0)[:, None, None])
+        local = jnp.clip(g - (base - hist)[:, None, None], 0, hist + nf - 1)
+        feats = jnp.take_along_axis(
+            combined, local.reshape(capacity, -1)[:, :, None], axis=1
+        ).reshape(capacity, k_max, lfr_dim)
+        feats = (feats + means) * vars_
+        # masked append into each slot's pending ring
+        widx = (ring_woff[:, None] + jnp.arange(k_max)[None, :]) % ring_n
+        wmask = jnp.arange(k_max)[None, :] < k_emit[:, None]
+        old = jnp.take_along_axis(ring, widx[:, :, None], axis=1)
+        vals = jnp.where(wmask[:, :, None], feats, old)
+        ring = ring.at[jnp.arange(capacity)[:, None], widx].set(vals)
+        # consume one exact-center chunk per slot (count 0 = no-op slot)
+        cidx = (consume_start[:, None]
+                + jnp.arange(center)[None, :]) % ring_n
+        chunk = jnp.take_along_axis(ring, cidx[:, :, None], axis=1)
+        new_state, ids, nums = paraformer_online.step(
+            params, ocfg, state, chunk, consume_count, finals)
+        # slide the mel history to the last `hist` rows; utterance-final
+        # slots reset their front-end
+        hidx = n_new[:, None] + jnp.arange(hist)[None, :]
+        new_hist = jnp.take_along_axis(combined, hidx[:, :, None], axis=1)
+        new_hist = jnp.where(fe_finals[:, None, None], 0.0, new_hist)
+        return new_state, ids, nums, new_hist, ring
+
+    return step, need, hist, ring_n, k_max
+
+
 @dataclass
 class _Slot:
     active: bool = False
@@ -130,6 +213,15 @@ class _Slot:
     p2_inflight: int = 0               # segments handed to the pass-2 lane
     p1_inflight: int = 0               # chunks in the dispatched-not-yet-
                                        # fetched pass-1 batch (pipelining)
+    # fused pass-1 front-end host mirrors (exact StreamingFrontend
+    # accounting; the mel itself stays device-resident)
+    p1_groups: list = field(default_factory=list)   # queued (samples, fin)
+    p1_residual: Any = None            # np samples not yet framed
+    p1_total: int = 0                  # mel frames produced this utterance
+    p1_win: int = 0                    # next LFR window index
+    p1_ring_w: int = 0                 # pending-ring windows written (monotonic)
+    p1_ring_r: int = 0                 # pending-ring windows consumed
+    p1_flush_at: Any = None            # ring_w at utterance final, or None
 
 
 class StreamEngine:
@@ -170,6 +262,19 @@ class StreamEngine:
             (capacity, fcfg.lfr_m - 1, fcfg.n_mels), jnp.float32)
         self._vad_total = np.zeros(capacity, np.int64)
         self._vad_next = np.zeros(capacity, np.int64)
+        # fused pass-1 front-end+model program + device-resident buffers
+        (self._p1_step, self._p1_need, self._p1_hist_n, self._p1_ring_n,
+         self._p1_kmax) = _fused_p1_step(ocfg, capacity)
+        afc = ocfg.frontend
+        ameans, avars = (models.asr_cmvn if models.asr_cmvn is not None
+                         else (np.zeros(afc.lfr_dim, np.float32),
+                               np.ones(afc.lfr_dim, np.float32)))
+        self._asr_means = jnp.asarray(ameans, jnp.float32)
+        self._asr_vars = jnp.asarray(avars, jnp.float32)
+        self._p1_hist = jnp.zeros(
+            (capacity, self._p1_hist_n, afc.n_mels), jnp.float32)
+        self._p1_ring = jnp.zeros(
+            (capacity, self._p1_ring_n, afc.lfr_dim), jnp.float32)
         # pass-1 / pass-2 priority lanes (SURVEY §7 "latency vs batching
         # tension"): with pass2_async the tick never runs offline decodes —
         # segments go to a background worker thread, so a burst of long
@@ -210,12 +315,12 @@ class StreamEngine:
                        zi, zi, zi, zi,
                        jnp.zeros((self.capacity,), bool),
                        self._vad_hist, self.vad_caches)
-        paraformer_online.step_jit(
-            self.oparams, self.ocfg, self.online_state,
-            jnp.zeros((self.capacity, self.center, self.lfr_dim),
-                      jnp.float32),
-            jnp.zeros((self.capacity,), jnp.int32),
-            jnp.zeros((self.capacity,), bool))
+        zb = jnp.zeros((self.capacity,), bool)
+        self._p1_step(self.oparams, self._asr_means, self._asr_vars,
+                      self.online_state,
+                      jnp.zeros((self.capacity, self._p1_need), jnp.float32),
+                      zi, zi, zi, zi, zb, zi, zi, zi, zb,
+                      self._p1_hist, self._p1_ring)
 
     # -- stream lifecycle ------------------------------------------------
     def open(self, hw_emb=None, hotwords=None, use_itn: bool = True,
@@ -259,6 +364,7 @@ class StreamEngine:
             vocab=Vocab(m.vocab.tokens, m.vocab.lang),
             pending_feats=np.zeros((0, self.lfr_dim), np.float32),
             punc_cache=[],
+            p1_residual=np.zeros(0, np.float32),
         )
         self.slots[sid] = slot
         # zero the batched device state for this slot
@@ -278,6 +384,9 @@ class StreamEngine:
         self._vad_hist = self._vad_hist.at[sid].set(0.0)
         self._vad_total[sid] = 0
         self._vad_next[sid] = 0
+        self._p1_hist = self._p1_hist.at[sid].set(0.0)
+        # pending-ring contents are gated by the slot's (reset) host
+        # counters — stale rows are never gathered
 
     def close(self, sid: int):
         self.slots[sid].active = False
@@ -297,9 +406,9 @@ class StreamEngine:
         produced its results (incl. segments in the async pass-2 lane)."""
         slot = self.slots[sid]
         return (not slot.audio_in
-                and (slot.pending_feats is None
-                     or slot.pending_feats.shape[0] == 0)
-                and not slot.pending_final
+                and not slot.p1_groups
+                and slot.p1_ring_w == slot.p1_ring_r
+                and slot.p1_flush_at is None
                 and not slot.seg_queue
                 and slot.p2_inflight == 0
                 and slot.p1_inflight == 0)
@@ -326,6 +435,15 @@ class StreamEngine:
 
     def has_inflight(self) -> bool:
         return self._p1_outstanding > 0
+
+    def slot_has_work(self, slot) -> bool:
+        """True when a slot has queued audio/frames/segments a step() would
+        advance (the serving loop's wake condition)."""
+        return bool(slot.active
+                    and (slot.audio_in or slot.p1_groups
+                         or slot.p1_flush_at is not None
+                         or slot.p1_ring_w - slot.p1_ring_r >= self.center
+                         or slot.seg_queue))
 
     def _vad_stage_dispatch(self):
         m = self.models
@@ -402,15 +520,17 @@ class StreamEngine:
         return probs, work
 
     def _vad_decide(self, ctx):
+        from asr2pass_tpu.runtime.metrics import GLOBAL as METRICS
         if ctx is None:
             return
         probs, work = ctx
         m = self.models
-        probs = np.asarray(probs)
+        with METRICS.stage("vd_probs_fetch"):
+            probs = np.asarray(probs)
         # VAD decisions + 2pass split per slot (host, O(frames)); collect
         # the online frames into per-slot groups split at final flags so
         # the ASR front-ends batch the same way
-        groups = {}  # sid -> [(data, is_final), ...]
+        _t_sm = time.perf_counter()
         for sid, samples, is_final, n in work:
             slot = self.slots[sid]
             # probs here is the device-summed sil posterior [nf]; the slot
@@ -439,80 +559,134 @@ class StreamEngine:
                     cur = []
             if cur:
                 gs.append((np.concatenate(cur), False))
-            if gs:
-                groups[sid] = gs
+            # route the speech audio to the fused pass-1 lane — the ASR
+            # front-end (fbank+LFR+CMVN) runs INSIDE the pass-1 device
+            # step, so nothing but raw samples leaves the host here
+            slot.p1_groups.extend(gs)
             if is_final:
                 slot.splitter.reset()
-        # batched ASR front-end waves (usually a single round)
-        while groups:
-            stage2 = []
-            for sid in list(groups):
-                data, fin = groups[sid].pop(0)
-                if not groups[sid]:
-                    del groups[sid]
-                buf, nf = self.slots[sid].asr_frontend.stage(data)
-                stage2.append((sid, fin, buf, nf))
-            mels = batched_fbank([s[2] for s in stage2],
-                                 [s[3] for s in stage2],
-                                 self.ocfg.frontend)
-            for (sid, fin, _, _), mel in zip(stage2, mels):
-                slot = self.slots[sid]
-                f = slot.asr_frontend.commit(mel, fin)
-                if f.shape[0]:
-                    slot.pending_feats = np.concatenate(
-                        [slot.pending_feats, f])
-                if fin:
-                    slot.pending_final = True
+        METRICS.stages["vd_automaton"].add(time.perf_counter() - _t_sm)
 
     def _asr_step(self):
         if self.mode == "offline":
             return
         c = self.center
-        while True:
-            feats = np.zeros((self.capacity, c, self.lfr_dim), np.float32)
-            counts = np.zeros(self.capacity, np.int32)
-            finals = np.zeros(self.capacity, bool)
+        cap = self.capacity
+        fcfg = self.ocfg.frontend
+        shift, flen = fcfg.frame_shift, fcfg.frame_length
+        lfr_m, lfr_n = fcfg.lfr_m, fcfg.lfr_n
+        left = (lfr_m - 1) // 2
+        ring_n = self._p1_ring_n
+        # stage at most one VAD-tick's worth of samples per slot per round
+        # so k_emit stays within the program's k_max window budget
+        max_stage = (self._p1_kmax - 2) * lfr_n * shift
+        for _round in range(8):
+            waves = np.zeros((cap, self._p1_need), np.float32)
+            n_new = np.zeros(cap, np.int32)
+            win_start = np.zeros(cap, np.int32)
+            total_new = np.zeros(cap, np.int32)
+            k_emit = np.zeros(cap, np.int32)
+            fe_finals = np.zeros(cap, bool)
+            ring_woff = np.zeros(cap, np.int32)
+            consume_start = np.zeros(cap, np.int32)
+            consume_count = np.zeros(cap, np.int32)
+            finals = np.zeros(cap, bool)
             todo = []
             more = False
             for sid, slot in enumerate(self.slots):
                 if not slot.active:
                     continue
-                n = slot.pending_feats.shape[0]
-                if n >= c:
-                    feats[sid] = slot.pending_feats[:c]
-                    counts[sid] = c
-                    slot.pending_feats = slot.pending_feats[c:]
-                    finals[sid] = (slot.pending_final
-                                   and slot.pending_feats.shape[0] == 0)
-                    if finals[sid]:
-                        slot.pending_final = False
+                # ---- stage new speech samples (up to one utterance final)
+                if slot.p1_groups:
+                    datas, total, fe_fin = [], 0, False
+                    while (slot.p1_groups and total < max_stage
+                           and not fe_fin):
+                        s, f = slot.p1_groups.pop(0)
+                        take = min(len(s), max_stage - total)
+                        if take < len(s):
+                            slot.p1_groups.insert(0, (s[take:], f))
+                            s, f = s[:take], False
+                        datas.append(s)
+                        total += len(s)
+                        fe_fin = fe_fin or f
+                    buf = np.concatenate([slot.p1_residual] + datas)
+                    n = ((len(buf) - flen) // shift + 1
+                         if len(buf) >= flen else 0)
+                    slot.p1_residual = buf[n * shift:] if n else buf
+                    waves[sid, : len(buf)] = buf[: self._p1_need]
+                    n_new[sid] = n
+                    tot = slot.p1_total + n
+                    win_start[sid] = slot.p1_win
+                    total_new[sid] = tot
+                    if fe_fin:
+                        upto = -(-tot // lfr_n)
+                    else:
+                        upto = max(
+                            (tot - 1 - (lfr_m - 1) + left) // lfr_n + 1,
+                            slot.p1_win)
+                    k_emit[sid] = upto - slot.p1_win
+                    ring_woff[sid] = slot.p1_ring_w % ring_n
+                    slot.p1_ring_w += upto - slot.p1_win
+                    if fe_fin:
+                        fe_finals[sid] = True
+                        slot.p1_total = 0
+                        slot.p1_win = 0
+                        slot.p1_residual = np.zeros(0, np.float32)
+                        slot.p1_flush_at = slot.p1_ring_w
+                    else:
+                        slot.p1_total = tot
+                        slot.p1_win = upto
+                else:
+                    # window accounting still needs sane per-slot values
+                    win_start[sid] = slot.p1_win
+                    total_new[sid] = slot.p1_total
+                    ring_woff[sid] = slot.p1_ring_w % ring_n
+                # ---- consume one chunk (exact center rows, or the final
+                # partial once the utterance's windows are all in the ring)
+                cnt = 0
+                pending = slot.p1_ring_w - slot.p1_ring_r
+                if slot.p1_flush_at is not None:
+                    pend_old = slot.p1_flush_at - slot.p1_ring_r
+                    if pend_old <= c:
+                        cnt = pend_old
+                        finals[sid] = True
+                        slot.p1_flush_at = None
+                    else:
+                        cnt = c
+                elif pending >= c:
+                    cnt = c
+                if cnt or finals[sid]:
+                    consume_start[sid] = slot.p1_ring_r % ring_n
+                    consume_count[sid] = cnt
+                    slot.p1_ring_r += cnt
                     todo.append(sid)
-                    if slot.pending_feats.shape[0] >= c:
-                        more = True
-                elif slot.pending_final:
-                    feats[sid, :n] = slot.pending_feats
-                    counts[sid] = n
-                    finals[sid] = True
-                    slot.pending_feats = slot.pending_feats[:0]
-                    slot.pending_final = False
-                    todo.append(sid)
-            if not todo:
+                if (slot.p1_groups or slot.p1_flush_at is not None
+                        or slot.p1_ring_w - slot.p1_ring_r >= c):
+                    more = True
+            if not todo and not n_new.any():
                 return
-            self.online_state, ids, nums = paraformer_online.step_jit(
-                self.oparams, self.ocfg, self.online_state,
-                jnp.asarray(feats), jnp.asarray(counts), jnp.asarray(finals))
-            batch = ([(sid, self.slots[sid]) for sid in todo],
-                     finals, ids, nums)
-            if self._pipeline:
-                # hand the in-flight batch to the collector thread: its
-                # device round-trip + detok never block the tick
-                with self._results_lock:
-                    for sid in todo:
-                        self.slots[sid].p1_inflight += 1
-                    self._p1_outstanding += 1
-                self._p1_queue.put(batch)
-            else:
-                self._finish_asr_batch(batch, inflight_counted=False)
+            (self.online_state, ids, nums, self._p1_hist,
+             self._p1_ring) = self._p1_step(
+                self.oparams, self._asr_means, self._asr_vars,
+                self.online_state, jnp.asarray(waves), jnp.asarray(n_new),
+                jnp.asarray(win_start), jnp.asarray(total_new),
+                jnp.asarray(k_emit), jnp.asarray(fe_finals),
+                jnp.asarray(ring_woff), jnp.asarray(consume_start),
+                jnp.asarray(consume_count), jnp.asarray(finals),
+                self._p1_hist, self._p1_ring)
+            if todo:
+                batch = ([(sid, self.slots[sid]) for sid in todo],
+                         finals, ids, nums)
+                if self._pipeline:
+                    # hand the in-flight batch to the collector thread: its
+                    # device round-trip + detok never block the tick
+                    with self._results_lock:
+                        for sid in todo:
+                            self.slots[sid].p1_inflight += 1
+                        self._p1_outstanding += 1
+                    self._p1_queue.put(batch)
+                else:
+                    self._finish_asr_batch(batch, inflight_counted=False)
             if not more:
                 return
 

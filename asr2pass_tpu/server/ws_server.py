@@ -320,10 +320,7 @@ class AsrWsServer:
         while True:
             has_work = self.engine is not None and (
                 self.engine.has_inflight() or any(
-                    slot.active and (slot.audio_in or slot.pending_feats
-                                     is not None
-                                     and slot.pending_feats.shape[0] > 0
-                                     or slot.seg_queue)
+                    self.engine.slot_has_work(slot)
                     for slot in self.engine.slots))
             if has_work:
                 async with self._engine_lock:
