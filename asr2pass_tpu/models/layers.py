@@ -149,7 +149,7 @@ def fsmn_apply(p, x, mask=None, left: Optional[int] = None):
         out = out + pad[:, k: k + t, :] * taps[k]
     out = x + out
     if mask is not None:
-        out = out * mask[..., None]
+        out = out * mask[..., None].astype(out.dtype)
     return out
 
 
@@ -214,22 +214,28 @@ def sanm_attention(p, x, heads: int, mask=None, att_mask=None):
     Returns [B, T, D].
     """
     qkv = dense(p["qkv"], x)
+    d = qkv.shape[-1] // 3
+    d_k = d // heads
+    from asr2pass_tpu.ops.attention import mh_flash_attention, use_flash
+
+    if use_flash(x.shape[1], d_k, att_mask):
+        # feed the kernel the UNSPLIT projection layout: heads live in
+        # contiguous column blocks, so no split/transpose/merge passes
+        # over the [B,T,D] activations are materialized at all
+        mem = fsmn_apply(p["fsmn"], qkv[..., 2 * d:], mask)
+        kv_mask = (mask if mask is not None
+                   else jnp.ones(x.shape[:2], jnp.float32))
+        ctx = mh_flash_attention(qkv[..., :d], qkv[..., d:], kv_mask,
+                                 heads)
+        out = dense(p["out"], ctx) + mem
+        if mask is not None:
+            out = out * mask[..., None].astype(out.dtype)
+        return out
     q, k, v = jnp.split(qkv, 3, axis=-1)
     mem = fsmn_apply(p["fsmn"], v, mask)
-    d_k = q.shape[-1] // heads
     qh = _split_heads(q, heads)
     kh = _split_heads(k, heads)
     vh = _split_heads(v, heads)
-    from asr2pass_tpu.ops.attention import flash_attention, use_flash
-
-    if use_flash(x.shape[1], d_k, att_mask):
-        kv_mask = (mask if mask is not None
-                   else jnp.ones(x.shape[:2], jnp.float32))
-        ctx = flash_attention(qh, kh, vh, kv_mask)
-        out = dense(p["out"], _merge_heads(ctx)) + mem
-        if mask is not None:
-            out = out * mask[..., None]
-        return out
     # bf16 score matrices (opt-in) halve the dominant HBM traffic of
     # long-segment attention; logits are max-subtracted inside softmax so
     # bf16 range is safe, at ~3 decimal digits of logit precision
@@ -247,7 +253,7 @@ def sanm_attention(p, x, heads: int, mask=None, att_mask=None):
     ctx = jnp.einsum("bhts,bhsd->bhtd", att, vh)
     out = dense(p["out"], _merge_heads(ctx)) + mem
     if mask is not None:
-        out = out * mask[..., None]
+        out = out * mask[..., None].astype(out.dtype)
     return out
 
 

@@ -36,7 +36,8 @@ _NEG = -1e30
 # single-shot kernel: q-block rows per program; the full K/V plus one
 # [BLOCK_Q_SS, T] fp32 score slab must fit VMEM (~16 MB/core), which
 # bounds T at MAX_T_SS
-BLOCK_Q_SS = int(os.environ.get("ASR2PASS_SS_BLOCK_Q", "256"))
+# 0 = adaptive (see _ss_block_q); a positive value forces that block size
+BLOCK_Q_SS = int(os.environ.get("ASR2PASS_SS_BLOCK_Q", "0"))
 MAX_T_SS = 2048
 
 
@@ -60,6 +61,92 @@ def _ss_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, sm_scale: float):
     ctx = jnp.dot(p.astype(v_ref.dtype), v_ref[:],
                   preferred_element_type=jnp.float32)
     o_ref[:] = (ctx / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _mhss_kernel(q_ref, kv_ref, mask_ref, o_ref, *, heads: int, d: int,
+                 sm_scale: float):
+    """Multi-head single-shot attention on UNSPLIT projections.
+
+    q_ref: [BQ, D] (heads in contiguous d_k column blocks, the layout
+    dense() produces); kv_ref: [Tk, 2D] (K cols then V cols); mask_ref
+    [1, Tk]. Heads run sequentially in-kernel over column slices, so the
+    [B,T,D]->[B,H,T,d_k] head transposes, the q/k/v splits and the
+    context merge that cost ~1/3 of the measured attention time in the
+    per-head kernel layout simply do not exist — and only ONE [BQ, Tk]
+    fp32 score slab is live at a time, keeping VMEM flat."""
+    d_k = d // heads
+    valid = mask_ref[0, :][None, :] > 0
+    for hh in range(heads):
+        q = q_ref[:, hh * d_k:(hh + 1) * d_k]
+        k = kv_ref[:, hh * d_k:(hh + 1) * d_k]
+        v = kv_ref[:, d + hh * d_k:d + (hh + 1) * d_k]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        s = jnp.where(valid, s, _NEG)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        ctx = jnp.dot(p.astype(kv_ref.dtype), v,
+                      preferred_element_type=jnp.float32)
+        o_ref[:, hh * d_k:(hh + 1) * d_k] = (
+            ctx / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def mh_flash_attention(q, kv, kv_mask, heads: int, interpret: bool = False):
+    """Single-shot attention straight off the projection layout.
+
+    q: [B, Tq, D]; kv: [B, Tk, 2D] (K then V columns); kv_mask: [B, Tk]
+    (>0 valid). Returns context [B, Tq, D] in merged-head layout (what
+    the output projection consumes). Tq may differ from Tk (cross)."""
+    b, tq, d = q.shape
+    tk = kv.shape[1]
+    orig_tq = tq
+    # q-block: largest 128-multiple whose fp32 score slab pair fits the
+    # VMEM budget alongside [Tk, 2D] K/V
+    budget = 6 * 2**20
+    bq = max(128, min((budget // (tk * 8)) // 128 * 128, 1024))
+    bq = min(bq, -(-tq // 128) * 128)
+    padq = (-tq) % bq
+    padk = (-tk) % 128
+    if padq:
+        q = jnp.pad(q, [(0, 0), (0, padq), (0, 0)])
+        tq += padq
+    if padk:
+        kv = jnp.pad(kv, [(0, 0), (0, padk), (0, 0)])
+        kv_mask = jnp.pad(kv_mask, [(0, 0), (0, padk)])
+        tk += padk
+    sm_scale = 1.0 / math.sqrt(d // heads)
+    maskf = kv_mask[:, None, :]                       # [B, 1, Tk]
+
+    grid = (b, tq // bq)
+    out = pl.pallas_call(
+        functools.partial(_mhss_kernel, heads=heads, d=d,
+                          sm_scale=sm_scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, tk, 2 * d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, tk), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, bq, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, tq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * tq * tk * d,
+            bytes_accessed=b * (2 * tq * d + 2 * tk * d) * 2,
+            transcendentals=b * tq * tk * heads,
+        ),
+        interpret=interpret,
+    )(q, kv, maskf)
+    if padq:
+        out = out[:, :orig_tq, :]
+    return out
 
 
 def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
@@ -118,6 +205,26 @@ def cross_flash_attention(q, k, v, kv_mask, interpret: bool = False):
     return _attention_ss(q, k, v, kv_mask, q_mask=None, interpret=interpret)
 
 
+def _ss_block_q(tq: int, tk: int) -> int:
+    """Largest q-block that keeps the two [BQ, Tk] fp32 score slabs plus
+    K/V resident in VMEM (~16 MB/core, budget ~10 MB for the slabs).
+
+    Bigger blocks mean FEWER grid programs: at b=16 h=4 T=1024 the fixed
+    BQ=256 grid ran 256 programs/layer whose per-program overhead (DMA
+    turnaround, fixed launch cost) dominated the ~0.7 us of useful MXU
+    work each — attention measured ~51 ms/forward vs an ~8 ms FLOP cost
+    (scripts/profile_encoder.py). BQ=Tq collapses that to one program per
+    (b,h) with K/V fetched exactly once."""
+    if BLOCK_Q_SS > 0:          # explicit override for experiments
+        return BLOCK_Q_SS
+    budget = 10 * 2**20
+    bq = (budget // (tk * 8)) // 128 * 128
+    bq = max(128, min(bq, 1024))
+    # don't pad tq up to a block bigger than the whole query range
+    tq_pad = -(-tq // 128) * 128
+    return min(bq, tq_pad)
+
+
 def _attention_ss(q, k, v, kv_mask, q_mask=None, interpret: bool = False):
     """Single-shot (non-online-softmax) attention; see _ss_kernel.
 
@@ -126,7 +233,8 @@ def _attention_ss(q, k, v, kv_mask, q_mask=None, interpret: bool = False):
     b, h, tq, d = q.shape
     tk = k.shape[2]
     orig_tq = tq
-    padq = (-tq) % BLOCK_Q_SS
+    bq = _ss_block_q(tq, tk)
+    padq = (-tq) % bq
     padk = (-tk) % 128
     if padq:
         q = jnp.pad(q, [(0, 0), (0, 0), (0, padq), (0, 0)])
@@ -143,12 +251,12 @@ def _attention_ss(q, k, v, kv_mask, q_mask=None, interpret: bool = False):
     vf = v.reshape(b * h, tk, d)
     maskf = jnp.repeat(kv_mask, h, axis=0)[:, None, :]  # [B*H, 1, Tk]
 
-    grid = (b * h, tq // BLOCK_Q_SS)
+    grid = (b * h, tq // bq)
     out = pl.pallas_call(
         functools.partial(_ss_kernel, sm_scale=sm_scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, BLOCK_Q_SS, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((None, bq, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, tk, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -157,10 +265,17 @@ def _attention_ss(q, k, v, kv_mask, q_mask=None, interpret: bool = False):
             pl.BlockSpec((None, 1, tk), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, BLOCK_Q_SS, d),
+        out_specs=pl.BlockSpec((None, bq, d),
                                lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tq * tk * d,
+            bytes_accessed=(b * h) * (2 * tq * d + 2 * tk * d) * 2,
+            transcendentals=b * h * tq * tk,
+        ),
         interpret=interpret,
     )(qf, kf, vf, maskf)
     out = out.reshape(b, h, tq, d)
@@ -275,6 +390,6 @@ def use_flash_cross(tq: int, tk: int, d_head: int) -> bool:
         return False
     if tk > MAX_T_SS or d_head > 256:
         return False
-    if tq < BLOCK_Q_SS or tk < 256:
+    if tq < 256 or tk < 256:
         return False
     return jax.default_backend() == "tpu"

@@ -100,3 +100,36 @@ def test_flash_fully_masked_rows_zero():
                                      interpret=True))
     assert np.all(out[0, :, 64:, :] == 0)
     assert np.any(out[0, :, :64, :] != 0)
+
+
+@pytest.mark.parametrize("heads,tq,tk,lens", [(4, 256, 256, [256, 200]),
+                                              (2, 300, 300, [300, 123]),
+                                              (4, 200, 384, [384, 250])])
+def test_mh_flash_matches_reference(heads, tq, tk, lens):
+    """Multi-head single-shot kernel on UNSPLIT projections: contiguous
+    d_k column blocks per head must equal the split-heads XLA result in
+    merged layout (self- and cross-shaped)."""
+    from asr2pass_tpu.ops.attention import mh_flash_attention
+
+    b, d = 2, 128
+    d_k = d // heads
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal((b, tq, d)).astype(np.float32)
+    kv = rng.standard_normal((b, tk, 2 * d)).astype(np.float32)
+    kv_mask = np.zeros((b, tk), np.float32)
+    for i, n in enumerate(lens):
+        kv_mask[i, :n] = 1.0
+
+    # reference: split heads from the same column layout
+    qh = q.reshape(b, tq, heads, d_k).transpose(0, 2, 1, 3)
+    kh = kv[..., :d].reshape(b, tk, heads, d_k).transpose(0, 2, 1, 3)
+    vh = kv[..., d:].reshape(b, tk, heads, d_k).transpose(0, 2, 1, 3)
+    s = jnp.einsum("bhtd,bhsd->bhts", qh, kh) / math.sqrt(d_k)
+    s = jnp.where(jnp.asarray(kv_mask)[:, None, None, :] > 0, s, -1e30)
+    a = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("bhts,bhsd->bhtd", a, vh)
+    ref = np.asarray(ref.transpose(0, 2, 1, 3).reshape(b, tq, d))
+
+    got = mh_flash_attention(jnp.asarray(q), jnp.asarray(kv),
+                             jnp.asarray(kv_mask), heads, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-5)
