@@ -170,7 +170,7 @@ def fire(hidden, alphas, threshold: float,
     idx = jnp.where(fires, jnp.minimum(idx, max_tokens), max_tokens)
     packed = jnp.zeros((b, max_tokens + 1, d), hidden.dtype)
     packed = packed.at[jnp.arange(b)[:, None], idx].add(
-        frames * fires[..., None]
+        (frames * fires[..., None]).astype(packed.dtype)
     )[:, :max_tokens]
     counts = jnp.minimum(jnp.sum(fires.astype(jnp.int32), axis=1),
                          max_tokens)

@@ -88,7 +88,11 @@ def step(params, cfg: ParaformerConfig, state: OnlineState,
     wlen = cache_len + new_count
     wmask = length_mask(wlen, w)
 
-    enc = sanm_encoder.apply(params["encoder"], window, wmask,
+    # serve in the params' dtype: the fp32 feats/pos-emb state carries
+    # full precision across chunks, but the NN itself should ride the
+    # bf16 MXU path like the offline model (state stays fp32)
+    pdt = jax.tree.leaves(params)[0].dtype
+    enc = sanm_encoder.apply(params["encoder"], window.astype(pdt), wmask,
                              add_posenc=False, d_model=d,
                              heads=cfg.encoder.attention_heads)
 

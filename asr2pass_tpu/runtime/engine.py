@@ -690,12 +690,29 @@ class StreamEngine:
             if not more:
                 return
 
+    def shutdown(self, timeout: float = 10.0):
+        """Drain and join the background lanes. Without this, daemon
+        threads parked in queue.get() (or mid device fetch) get killed at
+        interpreter teardown, which the TPU runtime's C++ layer can turn
+        into an abort ('terminate called ...') after the process's real
+        work already finished."""
+        if self._p1_thread is not None:
+            self._p1_queue.put(None)
+            self._p1_thread.join(timeout)
+            self._p1_thread = None
+        if self._p2_thread is not None:
+            self._p2_queue.put(None)
+            self._p2_thread.join(timeout)
+            self._p2_thread = None
+
     def _p1_collector(self):
         """Background pass-1 result lane: a single FIFO worker (per-slot
         result order preserved) fetches each dispatched batch and posts
         partial texts to the slots."""
         while True:
             batch = self._p1_queue.get()
+            if batch is None:
+                return
             try:
                 self._finish_asr_batch(batch, inflight_counted=True)
             except Exception:  # pragma: no cover - keep the lane alive
@@ -754,13 +771,20 @@ class StreamEngine:
         """Background pass-2 lane: drains segments in batches so pass-1
         ticks keep their ~600 ms cadence while long segments decode."""
         while True:
-            pairs = [self._p2_queue.get()]
+            first = self._p2_queue.get()
+            if first is None:
+                return
+            pairs = [first]
             # greedy drain up to one device batch worth
             while len(pairs) < 16:
                 try:
-                    pairs.append(self._p2_queue.get_nowait())
+                    nxt = self._p2_queue.get_nowait()
                 except queue.Empty:
                     break
+                if nxt is None:
+                    self._p2_queue.put(None)   # re-post the stop signal
+                    break
+                pairs.append(nxt)
             try:
                 self._process_segments(pairs)
             except Exception:  # pragma: no cover - keep the lane alive

@@ -419,4 +419,8 @@ class AsrWsServer:
             await self.serve()
             await asyncio.Future()
 
-        asyncio.run(main())
+        try:
+            asyncio.run(main())
+        finally:
+            if self.engine is not None:
+                self.engine.shutdown()

@@ -175,6 +175,7 @@ def bench_engine(args):
         for sid in sids:
             eng.poll(sid)
     elapsed = time.perf_counter() - start
+    eng.shutdown()
     per_tick = elapsed / ticks
     sustainable = s * tick_s / per_tick
     result = {

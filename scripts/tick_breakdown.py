@@ -76,6 +76,7 @@ def main():
             tick_ms.append((time.perf_counter() - t0) * 1e3)
         for sid in sids:
             eng.poll(sid)
+    eng.shutdown()
     rep = GLOBAL.report()["stages"]
     print(f"capacity={s}  tick p50={np.percentile(tick_ms, 50):.1f} ms  "
           f"p95={np.percentile(tick_ms, 95):.1f} ms  "
