@@ -271,17 +271,19 @@ def cross_attention(p, x, mem, heads: int, mem_mask=None):
     """x: [B, T, D] queries; mem: [B, S, Dm] keys/values."""
     q = dense(p["q"], x)
     kv = dense(p["kv"], mem)
-    k, v = jnp.split(kv, 2, axis=-1)
     d_k = q.shape[-1] // heads
-    qh, kh, vh = (_split_heads(a, heads) for a in (q, k, v))
-    from asr2pass_tpu.ops.attention import (cross_flash_attention,
+    from asr2pass_tpu.ops.attention import (mh_flash_attention,
                                             use_flash_cross)
 
     if use_flash_cross(x.shape[1], mem.shape[1], d_k):
+        # unsplit projection layout straight into the kernel (see
+        # sanm_attention): no head transposes/splits/merges materialized
         kv_mask = (mem_mask if mem_mask is not None
                    else jnp.ones(mem.shape[:2], jnp.float32))
-        ctx = cross_flash_attention(qh, kh, vh, kv_mask)
-        return dense(p["out"], _merge_heads(ctx))
+        ctx = mh_flash_attention(q, kv, kv_mask, heads)
+        return dense(p["out"], ctx)
+    k, v = jnp.split(kv, 2, axis=-1)
+    qh, kh, vh = (_split_heads(a, heads) for a in (q, k, v))
     scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh,
                         preferred_element_type=jnp.float32) / math.sqrt(d_k)
     if mem_mask is not None:

@@ -596,8 +596,11 @@ class StreamEngine:
             for sid, slot in enumerate(self.slots):
                 if not slot.active:
                     continue
-                # ---- stage new speech samples (up to one utterance final)
-                if slot.p1_groups:
+                # ---- stage new speech samples (up to one utterance
+                # final); while a final's windows are still draining from
+                # the ring, staging pauses so the flush boundary
+                # (p1_flush_at) is unambiguous — resumes next round
+                if slot.p1_groups and slot.p1_flush_at is None:
                     datas, total, fe_fin = [], 0, False
                     while (slot.p1_groups and total < max_stage
                            and not fe_fin):

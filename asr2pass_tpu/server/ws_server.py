@@ -78,7 +78,7 @@ class AsrWsServer:
     def __init__(self, models: ServerModels, host: str = "0.0.0.0",
                  port: int = 10095, decode_workers: int = 1,
                  ssl_context=None, use_engine: bool = False,
-                 engine_capacity: int = 64,
+                 engine_capacity: int = 128,
                  max_message_bytes: int = 16 << 20,
                  max_upload_bytes: int = 256 << 20):
         self.models = models

@@ -46,7 +46,7 @@ def main():
     p.add_argument("--engine", action="store_true",
                    help="batched StreamEngine serving (one jitted step "
                         "advances all connections)")
-    p.add_argument("--engine-capacity", type=int, default=64)
+    p.add_argument("--engine-capacity", type=int, default=128)
     p.add_argument("--max-message-mb", type=int, default=16,
                    help="max websocket frame size (MB)")
     p.add_argument("--max-upload-mb", type=int, default=256,

@@ -346,3 +346,37 @@ def test_engine_async_pass2_lane(hw_models):
     assert eng.drained(sid)
     assert _texts(out, "2pass-online") == _texts(ref, "2pass-online")
     assert _texts(out, "2pass-offline") == _texts(ref, "2pass-offline")
+
+
+def test_engine_back_to_back_finals_one_tick(models):
+    """Two utterances whose finals both land inside a single tick must
+    produce the same per-utterance results as when fed tick-by-tick:
+    the fused pass-1 lane pauses staging while a flush boundary
+    (p1_flush_at) is draining, so finals never merge."""
+    w1, w2 = _wave(11, seconds=1.2), _wave(12, seconds=1.2)
+
+    ref = StreamEngine(models, capacity=2)
+    sid = ref.open()
+    r1 = _drive(ref, sid, w1)
+    ref.close(sid)
+    sid = ref.open()
+    r2 = _drive(ref, sid, w2)
+
+    eng = StreamEngine(models, capacity=2)
+    sid = eng.open()
+    # both utterances (each ending in an is_final) queued before ONE step
+    eng.feed(sid, w1, is_final=True)
+    eng.feed(sid, w2, is_final=True)
+    got = []
+    for _ in range(40):
+        eng.step()
+        got.extend(eng.poll(sid))
+        if eng.drained(sid):
+            break
+    assert eng.drained(sid)
+
+    def text(res, mode):
+        return "".join(r["text"] for r in res if r["mode"] == mode)
+
+    assert text(got, "2pass-online") == (text(r1, "2pass-online")
+                                         + text(r2, "2pass-online"))
