@@ -216,7 +216,9 @@ def sanm_attention(p, x, heads: int, mask=None, att_mask=None):
     qkv = dense(p["qkv"], x)
     d = qkv.shape[-1] // 3
     d_k = d // heads
-    from asr2pass_tpu.ops.attention import mh_flash_attention, use_flash
+    from asr2pass_tpu.ops.attention import (flash_attention,
+                                            mh_flash_attention, use_flash,
+                                            use_flash_split)
 
     if use_flash(x.shape[1], d_k, att_mask):
         # feed the kernel the UNSPLIT projection layout: heads live in
@@ -236,6 +238,18 @@ def sanm_attention(p, x, heads: int, mask=None, att_mask=None):
     qh = _split_heads(q, heads)
     kh = _split_heads(k, heads)
     vh = _split_heads(v, heads)
+    if use_flash_split(x.shape[1], d_k, att_mask):
+        # T beyond the single-shot VMEM bound (un-VAD-split inputs past
+        # ~4 min): split-head online-softmax kernel streams K/V per head
+        # instead of pinning [Tk, 2D] in VMEM (which fails Mosaic
+        # compilation) or round-tripping [B,H,T,T] scores through HBM
+        kv_mask = (mask if mask is not None
+                   else jnp.ones(x.shape[:2], jnp.float32))
+        ctx = flash_attention(qh, kh, vh, kv_mask)
+        out = dense(p["out"], _merge_heads(ctx)) + mem
+        if mask is not None:
+            out = out * mask[..., None].astype(out.dtype)
+        return out
     # bf16 score matrices (opt-in) halve the dominant HBM traffic of
     # long-segment attention; logits are max-subtracted inside softmax so
     # bf16 range is safe, at ~3 decimal digits of logit precision

@@ -372,12 +372,30 @@ def scan_layers(seq_len=None) -> bool:
 
 
 def use_flash(t: int, d_head: int, att_mask) -> bool:
-    """Default-on for TPU; long sequences, no custom mask."""
+    """Gate for the unsplit-projection single-shot kernel: default-on for
+    TPU at segment shapes; no custom mask; T bounded by what fits VMEM
+    (mh_flash_attention pins the whole [Tk, 2D] K/V block per program —
+    beyond MAX_T_SS the split-head path routes to the online-softmax
+    kernel instead, which streams K/V per head)."""
     if not flash_enabled():
         return False
     if att_mask is not None:
         return False
-    if t < 256 or d_head > 256:
+    if t < 256 or t > MAX_T_SS or d_head > 256:
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def use_flash_split(t: int, d_head: int, att_mask) -> bool:
+    """Long-sequence fallback gate: T beyond the single-shot VMEM bound
+    runs the split-head path (flash_attention -> online-softmax kernel)
+    rather than XLA, whose [B,H,T,T] score tensor at T>2048 is the exact
+    HBM round-trip the kernels exist to avoid."""
+    if not flash_enabled():
+        return False
+    if att_mask is not None:
+        return False
+    if t <= MAX_T_SS or d_head > 256:
         return False
     return jax.default_backend() == "tpu"
 

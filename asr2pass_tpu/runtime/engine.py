@@ -194,8 +194,6 @@ class _Slot:
     sm: Any = None
     splitter: Any = None
     vocab: Any = None
-    pending_feats: Any = None          # [n,560] awaiting chunk assembly
-    pending_final: bool = False        # utterance flush requested
     audio_in: list = field(default_factory=list)   # (samples, is_final)
     seg_queue: list = field(default_factory=list)  # offline AudioFrames
     punc_cache: list = field(default_factory=list)
@@ -362,7 +360,6 @@ class StreamEngine:
                 speech_noise_thres=m.vad_cfg.speech_noise_thres)),
             splitter=TwoPassSplitter(m.vad_cfg.sample_rate),
             vocab=Vocab(m.vocab.tokens, m.vocab.lang),
-            pending_feats=np.zeros((0, self.lfr_dim), np.float32),
             punc_cache=[],
             p1_residual=np.zeros(0, np.float32),
         )
@@ -628,6 +625,16 @@ class StreamEngine:
                             (tot - 1 - (lfr_m - 1) + left) // lfr_n + 1,
                             slot.p1_win)
                     k_emit[sid] = upto - slot.p1_win
+                    # the +2 window margin in k_max only covers lfr
+                    # geometries with ceil((lfr_m-1-left)/lfr_n) <= 2; a
+                    # bigger lfr_m/lfr_n ratio would silently drop windows
+                    # in the device gather and desync the ring
+                    if k_emit[sid] > self._p1_kmax:
+                        raise RuntimeError(
+                            f"pass-1 k_emit {int(k_emit[sid])} exceeds the "
+                            f"program window budget {self._p1_kmax}; the "
+                            f"frontend lfr geometry (m={lfr_m}, n={lfr_n}) "
+                            "is incompatible with _P1_FRAMES staging")
                     ring_woff[sid] = slot.p1_ring_w % ring_n
                     slot.p1_ring_w += upto - slot.p1_win
                     if fe_fin:

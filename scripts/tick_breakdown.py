@@ -83,7 +83,7 @@ def main():
           f"(budget 600; sustainable ~"
           f"{s * 600 / np.percentile(tick_ms, 50):.0f} streams)")
     for name in ("tick_vad_dispatch", "tick_p1_collect", "tick_vad_decide",
-                 "vd_probs_fetch", "vd_automaton", "vd_asr_fbank",
+                 "vd_probs_fetch", "vd_automaton",
                  "tick_p1_dispatch", "tick_pass2_handoff"):
         st = rep.get(name)
         if st:

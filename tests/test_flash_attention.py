@@ -78,6 +78,7 @@ def test_dispatch_gates(monkeypatch):
     monkeypatch.setenv("ASR2PASS_FLASH_ATTENTION", "1")
     assert not att.use_flash(1000, 128, None)
     assert not att.use_flash_cross(500, 1000, 128)
+    assert not att.use_flash_split(5000, 128, None)
     # scan_layers: explicit env wins on any backend
     monkeypatch.setenv("ASR2PASS_SCAN_LAYERS", "1")
     assert att.scan_layers()
@@ -100,6 +101,57 @@ def test_flash_fully_masked_rows_zero():
                                      interpret=True))
     assert np.all(out[0, :, 64:, :] == 0)
     assert np.any(out[0, :, :64, :] != 0)
+
+
+def test_long_sequence_routes_off_single_shot(monkeypatch):
+    """ADVICE r3 (medium): T past the single-shot VMEM bound must not
+    reach the unsplit-projection kernel (its [Tk, 2D] K/V block exceeds
+    VMEM and fails Mosaic compilation at serve time). On a TPU backend
+    the gates route T > MAX_T_SS to the split-head path whose
+    flash_attention dispatches the online-softmax kernel; and
+    sanm_attention stays correct at such T on the XLA/CPU path."""
+    from asr2pass_tpu.models import layers
+    from asr2pass_tpu.ops import attention as att
+
+    monkeypatch.setenv("ASR2PASS_FLASH_ATTENTION", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    t_long = att.MAX_T_SS + 512
+    assert not att.use_flash(t_long, 128, None)
+    assert att.use_flash_split(t_long, 128, None)
+    assert att.use_flash(att.MAX_T_SS, 128, None)
+    assert not att.use_flash_split(att.MAX_T_SS, 128, None)
+    # cross gate already bounds tk
+    assert not att.use_flash_cross(512, t_long, 128)
+
+    # numerical: the split-head fallback equals the XLA path (interpret
+    # kernels on CPU, tiny dims but T > a patched MAX_T_SS)
+    monkeypatch.setattr(att, "MAX_T_SS", 128)
+    b, t, d, heads = 1, 160, 32, 2
+    rng = np.random.default_rng(7)
+    key = jax.random.PRNGKey(0)
+    p = layers.sanm_attention_init(key, d, d, heads, kernel=5)
+    x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    mask = np.ones((b, t), np.float32)
+    mask[0, 140:] = 0.0
+    mask = jnp.asarray(mask)
+    monkeypatch.setenv("ASR2PASS_FLASH_ATTENTION", "0")  # XLA reference
+    ref = layers.sanm_attention(p, x, heads, mask=mask)
+    monkeypatch.setenv("ASR2PASS_FLASH_ATTENTION", "1")
+
+    real_flash = att.flash_attention
+    calls = {}
+
+    def spy(q, k, v, m, interpret=False):
+        calls["t"] = q.shape[2]
+        return real_flash(q, k, v, m, interpret=True)
+
+    monkeypatch.setattr(att, "flash_attention", spy)
+    monkeypatch.setattr(layers.jax, "default_backend", lambda: "tpu",
+                        raising=False)
+    got = layers.sanm_attention(p, x, heads, mask=mask)
+    assert calls["t"] == t  # the fallback actually ran
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
 
 
 @pytest.mark.parametrize("heads,tq,tk,lens", [(4, 256, 256, [256, 200]),
