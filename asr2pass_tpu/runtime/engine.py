@@ -38,6 +38,14 @@ from asr2pass_tpu.text import timestamps as ts_mod
 from asr2pass_tpu.text.vocab import Vocab
 from asr2pass_tpu.vad.e2e_vad import E2EVadStateMachine, VadOptions
 
+class EngineAtCapacity(RuntimeError):
+    """Every slot is active or still draining in-flight work. The server
+    answers with a protocol error result instead of dropping the socket
+    (the reference accepts and queues via its thread pool,
+    websocket-server-2pass.cpp:278-366; here capacity is a hard batch
+    dimension, so the client is told to retry)."""
+
+
 def _vad_bucket(fcfg) -> int:
     """Mel rows computed per fused-VAD tick: the engine stages up to
     64*lfr_n mel frames of audio per slot per tick (one ~0.64 s chunk of
@@ -189,6 +197,13 @@ def _fused_p1_step(ocfg, capacity: int):
 @dataclass
 class _Slot:
     active: bool = False
+    # connection generation: bumped on every _reset_slot. The async lanes
+    # capture the _Slot OBJECT at dispatch time and post results/decrement
+    # counters on that object only — a reclaimed slot index can never
+    # receive a previous connection's transcript (the reference guards the
+    # same lifecycle with access_num refcounts + an is_eof reaper,
+    # websocket-server-2pass.cpp:278-366,293-300)
+    gen: int = 0
     vad_frontend: Any = None
     asr_frontend: Any = None
     sm: Any = None
@@ -329,7 +344,11 @@ class StreamEngine:
         hotwords + per-request VAD/ITN/svs config on every connection,
         websocket-server-2pass.cpp:424-523)."""
         for sid, slot in enumerate(self.slots):
-            if not slot.active:
+            if (not slot.active and slot.p1_inflight == 0
+                    and slot.p2_inflight == 0):
+                # reclaim is deferred while the previous connection still
+                # has work in the async lanes — those lanes hold the OLD
+                # slot object, whose counters gate this branch
                 self._reset_slot(sid)
                 slot = self.slots[sid]
                 slot.active = True
@@ -345,7 +364,8 @@ class StreamEngine:
                     slot.lm_decoder = self.models._make_lm_decoder(
                         hotwords or None)
                 return sid
-        raise RuntimeError("engine at capacity")
+        raise EngineAtCapacity(
+            f"engine at capacity ({self.capacity} streams)")
 
     def _reset_slot(self, sid: int):
         m = self.models
@@ -354,6 +374,7 @@ class StreamEngine:
         ameans, avars = (m.asr_cmvn if m.asr_cmvn is not None
                          else (None, None))
         slot = _Slot(
+            gen=self.slots[sid].gen + 1,
             vad_frontend=StreamingFrontend(m.vad_cfg.frontend, vmeans, vvars),
             asr_frontend=StreamingFrontend(self.ocfg.frontend, ameans, avars),
             sm=E2EVadStateMachine(VadOptions(
@@ -747,10 +768,13 @@ class StreamEngine:
                     [int(x) for x in ids[sid, :k]], streaming=True)
                 if text:
                     with self._results_lock:
-                        slot.results.append(
-                            {"mode": "2pass-online"
-                             if self.mode == "2pass" else "online",
-                             "text": text})
+                        # captured-object delivery: a reclaimed slot index
+                        # never receives a previous connection's partial
+                        if self.slots[sid] is slot:
+                            slot.results.append(
+                                {"mode": "2pass-online"
+                                 if self.mode == "2pass" else "online",
+                                 "text": text})
             if finals[sid]:
                 # the front-end already reset itself on the final commit
                 # (StreamingFrontend._emit); only detok state resets here
@@ -765,10 +789,15 @@ class StreamEngine:
             return
         pairs = []
         for sid, slot in enumerate(self.slots):
+            if not slot.active:
+                # a closed connection's queued segments have no reader —
+                # drop them instead of spending pass-2 compute
+                slot.seg_queue.clear()
+                continue
             while slot.seg_queue:
                 fr = slot.seg_queue.pop(0)
                 slot.p2_inflight += 1
-                pairs.append((sid, fr))
+                pairs.append((sid, slot, fr))
         if not pairs:
             return
         if self._p2_async:
@@ -802,17 +831,20 @@ class StreamEngine:
 
                 logging.getLogger("asr2pass.engine").exception(
                     "pass-2 lane failure")
+                # decrement the CAPTURED slot objects: resolving
+                # self.slots[sid] here could hit a reclaimed slot and wedge
+                # the new connection's drained() at -1
                 with self._results_lock:
-                    for sid, _ in pairs:
-                        self.slots[sid].p2_inflight -= 1
+                    for _, slot, _ in pairs:
+                        slot.p2_inflight -= 1
 
     def _process_segments(self, pairs):
         """Offline-decode segments with each owner's per-connection options
         (hotwords, LM, ITN, svs lang) and post results to the slots."""
         from asr2pass_tpu.runtime.sensevoice_asr import SenseVoiceOffline
 
-        slots = [self.slots[sid] for sid, _ in pairs]
-        segs = [fr.data for _, fr in pairs]
+        slots = [slot for _, slot, _ in pairs]
+        segs = [fr.data for _, _, fr in pairs]
         if isinstance(self.offline.asr, SenseVoiceOffline):
             # SenseVoice pass-2: per-item lang/itn prefix ids
             outs = self.offline.asr.recognize_batch(
@@ -825,8 +857,7 @@ class StreamEngine:
             if any(s.lm_decoder is not None for s in slots):
                 kw["lm_decoders"] = [s.lm_decoder for s in slots]
             outs = self.offline.asr.recognize_batch(segs, **kw)
-        for (text, merged), (sid, fr) in zip(outs, pairs):
-            slot = self.slots[sid]
+        for (text, merged), (sid, slot, fr) in zip(outs, pairs):
             stamps = ts_mod.stamps_to_ms(merged, fr.global_start / 1000.0)
             if self.punc is not None and text:
                 text = self.punc.add_punc_streaming(text, slot.punc_cache)
@@ -842,5 +873,10 @@ class StreamEngine:
                 res["timestamp"] = stamps
                 res["stamp_sents"] = ts_mod.timestamp_sentence(text, stamps)
             with self._results_lock:
-                slot.results.append(res)
                 slot.p2_inflight -= 1
+                # deliver only to the connection that queued the segment:
+                # if the slot index was reclaimed (or closed) in the
+                # meantime, the captured object is no longer current and
+                # the transcript is dropped, never cross-delivered
+                if self.slots[sid] is slot and slot.active:
+                    slot.results.append(res)

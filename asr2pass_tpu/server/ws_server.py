@@ -296,14 +296,27 @@ class AsrWsServer:
     async def _engine_feed(self, ws, st: ConnectionState, samples,
                            is_final: bool):
         if getattr(st, "engine_sid", None) is None:
-            async with self._engine_lock:
-                st.engine_sid = self.engine.open(
-                    hw_emb=st.hw_emb,
-                    hotwords=getattr(st, "hotwords", None),
-                    use_itn=st.itn, svs_lang=st.svs_lang,
-                    svs_itn=st.svs_itn, vad_tail_sil=st.vad_tail_sil,
-                    vad_max_len=st.vad_max_len,
-                )
+            from asr2pass_tpu.runtime.engine import EngineAtCapacity
+
+            try:
+                async with self._engine_lock:
+                    st.engine_sid = self.engine.open(
+                        hw_emb=st.hw_emb,
+                        hotwords=getattr(st, "hotwords", None),
+                        use_itn=st.itn, svs_lang=st.svs_lang,
+                        svs_itn=st.svs_itn, vad_tail_sil=st.vad_tail_sil,
+                        vad_max_len=st.vad_max_len,
+                    )
+            except EngineAtCapacity as e:
+                # protocol error result instead of a dead socket: the
+                # connection stays open so the client can retry after
+                # other streams drain
+                st.started = False
+                await self._send(ws, {
+                    "text": "", "mode": st.mode, "wav_name": st.wav_name,
+                    "is_final": True, "error": str(e),
+                })
+                return
             self._engine_conns[st.engine_sid] = (ws, st)
         self.engine.feed(st.engine_sid, samples, is_final)
         if is_final:
@@ -315,8 +328,23 @@ class AsrWsServer:
         work and nothing is in flight, the loop parks on a wakeup event
         that feed() sets — no 5-20 ms wakeups scanning idle slots (scales
         to the capacities the pipelined tick unlocks). A short timed wait
-        remains only while the async pass-2 lane may still post results."""
+        remains only while the async pass-2 lane may still post results.
+
+        Containment: one poisoned tick (a bad frame, a transient device
+        error) must not kill the driver task and hang every connection —
+        step() failures are logged and the loop continues (the reference
+        survives the analogous case via per-task try + supervisord)."""
         loop = asyncio.get_running_loop()
+        while True:
+            try:
+                await self._engine_loop_body(loop)
+            except asyncio.CancelledError:
+                raise
+            except Exception:
+                log.exception("engine driver failure; serving continues")
+                await asyncio.sleep(0.1)
+
+    async def _engine_loop_body(self, loop):
         while True:
             has_work = self.engine is not None and (
                 self.engine.has_inflight() or any(
@@ -324,8 +352,13 @@ class AsrWsServer:
                     for slot in self.engine.slots))
             if has_work:
                 async with self._engine_lock:
-                    await loop.run_in_executor(self.executor,
-                                               self.engine.step)
+                    try:
+                        await loop.run_in_executor(self.executor,
+                                                   self.engine.step)
+                    except Exception:
+                        log.exception(
+                            "engine tick failure; serving continues")
+                        await asyncio.sleep(0.05)
             # results may also arrive from the async pass-2 lane while no
             # tick work is pending — poll every iteration
             for sid, (ws, st) in list(self._engine_conns.items()):

@@ -112,10 +112,94 @@ def test_engine_slot_reuse(models):
 
 
 def test_engine_capacity_guard(models):
+    from asr2pass_tpu.runtime.engine import EngineAtCapacity
+
     eng = StreamEngine(models, capacity=1)
     eng.open()
-    with pytest.raises(RuntimeError):
+    with pytest.raises(EngineAtCapacity):
         eng.open()
+
+
+def test_engine_no_cross_delivery_on_slot_reclaim(models):
+    """VERDICT r3 weak #2: client A disconnects with a segment in the
+    async pass-2 lane; client B reclaims the slot. A's transcript must
+    NOT reach B, reclaim must be deferred while the segment is in
+    flight, and no counter may go negative."""
+    import threading
+    import time
+
+    from asr2pass_tpu.runtime.engine import EngineAtCapacity
+
+    eng = StreamEngine(models, capacity=1, pass2_async=True)
+    gate = threading.Event()
+    orig = eng._process_segments
+
+    def gated(pairs):
+        gate.wait(timeout=60)
+        orig(pairs)
+
+    eng._process_segments = gated
+    try:
+        a = eng.open()
+        eng.feed(a, _wave(21, seconds=2.0), is_final=True)
+        old_slot = eng.slots[a]
+        deadline = time.time() + 60
+        while old_slot.p2_inflight == 0 and time.time() < deadline:
+            eng.step()
+            time.sleep(0.01)
+        assert old_slot.p2_inflight > 0      # segment is in the lane
+        eng.close(a)
+        # the old connection's decode is still in flight: the only slot
+        # must not be reclaimable yet
+        with pytest.raises(EngineAtCapacity):
+            eng.open()
+        gate.set()
+        deadline = time.time() + 60
+        while old_slot.p2_inflight > 0 and time.time() < deadline:
+            time.sleep(0.01)
+        assert old_slot.p2_inflight == 0     # exactly drained, not -1
+        b = eng.open()
+        assert b == a                        # slot recycled after drain
+        assert eng.slots[b].gen == old_slot.gen + 1
+        assert eng.poll(b) == []             # nothing cross-delivered
+        assert eng.slots[b].p2_inflight == 0
+        assert eng.drained(b)
+    finally:
+        gate.set()
+        eng.shutdown()
+
+
+def test_engine_pass2_error_path_decrements_captured_slot(models):
+    """A poisoned pass-2 batch must decrement the inflight counter of the
+    slot objects captured at handoff (not whatever connection currently
+    owns the index), so drained() converges and reuse is clean."""
+    import time
+
+    eng = StreamEngine(models, capacity=1, pass2_async=True)
+    calls = {"n": 0}
+
+    def boom(pairs):
+        calls["n"] += 1
+        raise RuntimeError("poisoned segment")
+
+    eng._process_segments = boom
+    try:
+        a = eng.open()
+        eng.feed(a, _wave(22, seconds=2.0), is_final=True)
+        deadline = time.time() + 60
+        while ((not calls["n"] or not eng.drained(a))
+               and time.time() < deadline):
+            eng.step()
+            time.sleep(0.01)
+        assert calls["n"] >= 1
+        assert eng.drained(a)
+        assert eng.slots[a].p2_inflight == 0
+        eng.close(a)
+        b = eng.open()
+        assert eng.slots[b].p2_inflight == 0
+        assert eng.drained(b)
+    finally:
+        eng.shutdown()
 
 
 def test_engine_burst_feed_no_overflow(models):

@@ -141,6 +141,95 @@ def test_engine_backed_2pass_mode(models):
     assert msgs[-1]["is_final"] is True
 
 
+async def _with_engine_server(models, coro_fn, capacity=4):
+    server = AsrWsServer(models, host="127.0.0.1", port=0,
+                         use_engine=True, engine_capacity=capacity)
+    srv = await server.serve()
+    port = srv.sockets[0].getsockname()[1]
+    try:
+        return await coro_fn(server, port)
+    finally:
+        server._engine_task.cancel()
+        srv.close()
+        await srv.wait_closed()
+        server.engine.shutdown()
+        server.executor.shutdown(wait=False)
+
+
+def test_engine_at_capacity_error_json(models):
+    """Connection capacity+1 gets a protocol error result (is_final +
+    error field) instead of a silently dropped socket; the earlier
+    connection keeps serving (VERDICT r3 weak #3)."""
+    import websockets
+
+    async def run(server, port):
+        uri = f"ws://127.0.0.1:{port}"
+        cfg = json.dumps({
+            "mode": "2pass", "chunk_size": [5, 10, 5],
+            "chunk_interval": 10, "audio_fs": 16000, "wav_name": "w1",
+            "wav_format": "pcm", "is_speaking": True,
+        })
+        pcm = _pcm(0.6, seed=4)
+        async with websockets.connect(uri) as ws1:
+            await ws1.send(cfg)
+            await ws1.send(pcm)
+            # wait until ws1 actually claimed the single slot
+            deadline = asyncio.get_running_loop().time() + 30
+            while (not any(s.active for s in server.engine.slots)
+                   and asyncio.get_running_loop().time() < deadline):
+                await asyncio.sleep(0.02)
+            assert any(s.active for s in server.engine.slots)
+            async with websockets.connect(uri) as ws2:
+                await ws2.send(cfg)
+                await ws2.send(pcm)
+                msg = json.loads(
+                    await asyncio.wait_for(ws2.recv(), timeout=30))
+                assert msg["is_final"] is True
+                assert "capacity" in msg.get("error", "")
+                # the socket survives the refusal: stats still answered
+                await ws2.send(json.dumps({"action": "stats"}))
+                reply = json.loads(
+                    await asyncio.wait_for(ws2.recv(), timeout=30))
+                assert "stats" in reply
+            # first connection still completes its utterance
+            await ws1.send(json.dumps({"is_speaking": False}))
+            while True:
+                m = json.loads(await asyncio.wait_for(ws1.recv(),
+                                                      timeout=120))
+                if m.get("is_final"):
+                    return m
+
+    final = asyncio.run(_with_engine_server(
+        models, run, capacity=1))
+    assert final["is_final"] is True
+    assert "error" not in final
+
+
+def test_engine_driver_survives_poisoned_tick(models):
+    """One exception inside engine.step() must not kill the driver task:
+    serving continues and the client still gets its results (VERDICT r3
+    weak #6)."""
+    async def run(server, port):
+        real = server.engine.step
+        state = {"n": 0}
+
+        def flaky():
+            state["n"] += 1
+            if state["n"] == 1:
+                raise RuntimeError("poisoned tick")
+            real()
+
+        server.engine.step = flaky
+        msgs = await _run_client(port, "2pass", _pcm(2.5, seed=9))
+        assert state["n"] > 1        # the loop kept ticking after the bang
+        return msgs
+
+    msgs = asyncio.run(_with_engine_server(models, run))
+    modes = {m.get("mode") for m in msgs}
+    assert "2pass-online" in modes or "2pass-offline" in modes
+    assert msgs[-1]["is_final"] is True
+
+
 def test_stats_protocol_extension(models):
     async def run(port):
         import websockets
