@@ -40,31 +40,52 @@ def read_symbols(path: str) -> Dict[str, int]:
     return out
 
 
-class TlgDecoder:
-    """Drop-in for runtime/offline_asr's lm_decoder contract
-    (start_utterance / decode(log_probs, id_to_token) -> text), backed by
-    a TLG.fst graph."""
+class TlgGraph:
+    """Loaded-once, shared read-only TLG resources: the graph, symbol
+    tables and the ilabel->AM-token gather map. The reference loads these
+    ONCE at FunASRWfstDecoderInit and every connection shares them
+    (funasrruntime.cpp:836-894, wfst-decoder.cpp:223-241); production
+    graphs are hundreds of MB, so per-connection re-reads are seconds of
+    disk+parse. Per-connection state lives in TlgDecoder."""
 
-    def __init__(self, graph_dir: str, token2id: Dict[str, int],
-                 lm_weight: float = 0.5, beam: float = 16.0,
-                 max_active: int = 2000,
-                 hotwords: Optional[Dict[str, float]] = None):
+    def __init__(self, graph_dir: str, token2id: Dict[str, int]):
         if not available():
             raise RuntimeError("native lib unavailable")
+        self.graph_dir = graph_dir
         self.fst = NativeFst(os.path.join(graph_dir, "TLG.fst"))
         self.word_syms = read_symbols(os.path.join(graph_dir, "words.txt"))
         self.id2word = {i: w for w, i in self.word_syms.items()}
-        tok_syms = read_symbols(os.path.join(graph_dir, "tokens.txt"))
+        self.tok_syms = read_symbols(os.path.join(graph_dir, "tokens.txt"))
         # gather map: ilabel -> AM token id (missing units score -inf)
-        max_il = max(tok_syms.values(), default=0)
-        self._gather = np.full(max_il + 1, -1, np.int64)
-        for unit, il in tok_syms.items():
+        max_il = max(self.tok_syms.values(), default=0)
+        self.gather = np.full(max_il + 1, -1, np.int64)
+        for unit, il in self.tok_syms.items():
             if unit in token2id:
-                self._gather[il] = token2id[unit]
+                self.gather[il] = token2id[unit]
+
+
+class TlgDecoder:
+    """Drop-in for runtime/offline_asr's lm_decoder contract
+    (start_utterance / decode(log_probs, id_to_token) -> text), backed by
+    a TLG.fst graph. Pass a preloaded TlgGraph to share the graph across
+    connections (per-connection work is then only the hotword bias
+    attach + the beam search state)."""
+
+    def __init__(self, graph: "TlgGraph | str", token2id: Dict[str, int],
+                 lm_weight: float = 0.5, beam: float = 16.0,
+                 max_active: int = 2000,
+                 hotwords: Optional[Dict[str, float]] = None):
+        if isinstance(graph, str):
+            graph = TlgGraph(graph, token2id)
+        self.graph = graph
+        self.fst = graph.fst
+        self.word_syms = graph.word_syms
+        self.id2word = graph.id2word
+        self._gather = graph.gather
         bias = None
         if hotwords:
             words, scores = [], []
-            unit_of = {u: il for u, il in tok_syms.items()}
+            unit_of = graph.tok_syms
             for w, s in hotwords.items():
                 ils = [unit_of.get(c) for c in w]
                 if all(i is not None for i in ils) and ils:

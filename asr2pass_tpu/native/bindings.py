@@ -64,6 +64,8 @@ def _load():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_float,
         ctypes.c_int32, ctypes.c_int32]
     lib.a2p_lmdec_free.argtypes = [ctypes.c_void_p]
+    lib.a2p_lmdec_clone.restype = ctypes.c_void_p
+    lib.a2p_lmdec_clone.argtypes = [ctypes.c_void_p]
     lib.a2p_lmdec_set_bias.argtypes = [ctypes.c_void_p, i32p, i32p, f32p,
                                        ctypes.c_int32]
     lib.a2p_lmdec_clear_bias.argtypes = [ctypes.c_void_p]
@@ -330,25 +332,52 @@ class NativeLmDecoder:
             oov_penalty, beam, am_topk)
         if not self._handle:
             raise RuntimeError("a2p_lmdec_create failed (order too high?)")
+        self._token2id = token2id
+        self._context_score = context_score
+        self._base = None
         if hotwords:
-            b_units: List[int] = []
-            b_lens: List[int] = []
-            b_scores: List[float] = []
-            for phrase, boost in hotwords.items():
-                toks = ContextGraph._default_split(phrase)
-                ids = [token2id.get(t) for t in toks]
-                if not ids or any(i is None for i in ids):
-                    continue
-                per = float(boost) if boost else context_score
-                b_units.extend(ids)
-                b_lens.append(len(ids))
-                b_scores.extend(per * len(t) for t in toks)
-            if b_lens:
-                lib.a2p_lmdec_set_bias(self._handle, _i32(b_units),
-                                       _i32(b_lens), _f32(b_scores),
-                                       len(b_lens))
+            self._attach_bias(hotwords)
         self._skip_tokens = [token2id[t] for t in self.SKIP_TOKENS
                              if t in token2id]
+
+    def _attach_bias(self, hotwords: dict):
+        from asr2pass_tpu.decode.context_graph import ContextGraph
+
+        b_units: List[int] = []
+        b_lens: List[int] = []
+        b_scores: List[float] = []
+        for phrase, boost in hotwords.items():
+            toks = ContextGraph._default_split(phrase)
+            ids = [self._token2id.get(t) for t in toks]
+            if not ids or any(i is None for i in ids):
+                continue
+            per = float(boost) if boost else self._context_score
+            b_units.extend(ids)
+            b_lens.append(len(ids))
+            b_scores.extend(per * len(t) for t in toks)
+        if b_lens:
+            self._lib.a2p_lmdec_set_bias(self._handle, _i32(b_units),
+                                         _i32(b_lens), _f32(b_scores),
+                                         len(b_lens))
+
+    def clone(self, hotwords: Optional[dict] = None) -> "NativeLmDecoder":
+        """Per-connection decoder over this decoder's SHARED tables —
+        O(1): the lexicon trie and n-gram table are refcounted in C++
+        (a2p_lmdec_clone), so per-connection cost is only the hotword
+        bias attach (FunASRWfstDecoderInit's share-the-graph contract,
+        funasrruntime.cpp:836-894)."""
+        new = object.__new__(NativeLmDecoder)
+        new._lib = self._lib
+        new._word2id = self._word2id
+        new._id2word = self._id2word
+        new._token2id = self._token2id
+        new._context_score = self._context_score
+        new._skip_tokens = self._skip_tokens
+        new._base = self            # keep the Python owner alive
+        new._handle = self._lib.a2p_lmdec_clone(self._handle)
+        if hotwords:
+            new._attach_bias(hotwords)
+        return new
 
     def start_utterance(self):
         pass  # stateless across decode() calls

@@ -56,6 +56,11 @@ A2pLmDec* a2p_lmdec_create(
     float oov_penalty, int32_t beam, int32_t am_topk);
 void a2p_lmdec_free(A2pLmDec* d);
 
+/* Per-connection decoder sharing src's (read-only) lexicon/LM tables:
+ * O(1), empty bias — attach hotwords with a2p_lmdec_set_bias. Clones
+ * may decode concurrently with src and each other. */
+A2pLmDec* a2p_lmdec_clone(const A2pLmDec* src);
+
 /* Optional hotword bias (ContextGraph role): per-phrase unit-id
  * sequences; sym_scores is aligned with units (per-symbol incremental
  * boost, already x char-count like context_graph.py build). */

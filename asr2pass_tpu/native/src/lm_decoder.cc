@@ -10,6 +10,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstring>
+#include <memory>
 #include <unordered_map>
 #include <vector>
 
@@ -115,12 +116,21 @@ uint64_t seq_hash(const std::vector<int32_t>& xs) {
 
 }  // namespace
 
-struct A2pLmDec {
+// Read-only LM resources shared across decoder clones: the lexicon trie
+// and the n-gram table load ONCE per server (the reference loads its
+// decode graph once in FunASRWfstDecoderInit and shares it read-only,
+// funasrruntime.cpp:836-894); per-connection decoders (a2p_lmdec_clone)
+// carry only search params + their own hotword bias trie.
+struct LmTables {
   int32_t order;
   std::vector<TrieNode> trie;
   std::unordered_map<NgKey, LmEntry, NgKeyHash> lm;
   std::vector<char> in_vocab;  // by word id (dense)
   int32_t unk, bos;
+};
+
+struct A2pLmDec {
+  std::shared_ptr<const LmTables> tab;
   float lm_weight, oov_penalty;
   int32_t beam, am_topk;
   std::vector<BiasNode> bias;  // empty = no bias; [0] is root otherwise
@@ -134,22 +144,22 @@ struct A2pLmDec {
       ng.len = h.len + 1;
       std::memcpy(ng.w, h.w, sizeof(int32_t) * h.len);
       ng.w[h.len] = word;
-      auto it = lm.find(ng);
-      if (it != lm.end() && it->second.has_logp)
+      auto it = tab->lm.find(ng);
+      if (it != tab->lm.end() && it->second.has_logp)
         return (float)(total_bow + it->second.logp);
       if (h.len == 0) {
         NgKey uni;
         uni.len = 1;
         uni.w[0] = word;
-        auto u = lm.find(uni);
-        return (float)(total_bow + (u != lm.end() && u->second.has_logp
+        auto u = tab->lm.find(uni);
+        return (float)(total_bow + (u != tab->lm.end() && u->second.has_logp
                                         ? u->second.logp : -7.0));
       }
       NgKey hk;
       hk.len = h.len;
       std::memcpy(hk.w, h.w, sizeof(int32_t) * h.len);
-      auto b = lm.find(hk);
-      if (b != lm.end() && b->second.has_bow) total_bow += b->second.bow;
+      auto b = tab->lm.find(hk);
+      if (b != tab->lm.end() && b->second.has_bow) total_bow += b->second.bow;
       // h = h[1:]
       std::memmove(h.w, h.w + 1, sizeof(int32_t) * (h.len - 1));
       h.len -= 1;
@@ -157,13 +167,13 @@ struct A2pLmDec {
   }
 
   float lm_score(const LmState& h0, int32_t word) const {
-    int32_t w = (word >= 0 && word < (int32_t)in_vocab.size() &&
-                 in_vocab[word]) ? word : unk;
+    int32_t w = (word >= 0 && word < (int32_t)tab->in_vocab.size() &&
+                 tab->in_vocab[word]) ? word : tab->unk;
     LmState h = h0;
-    if (h.len > order - 1) {  // keep the last order-1 words
-      std::memmove(h.w, h.w + (h.len - (order - 1)),
-                   sizeof(int32_t) * (order - 1));
-      h.len = order - 1;
+    if (h.len > tab->order - 1) {  // keep the last order-1 words
+      std::memmove(h.w, h.w + (h.len - (tab->order - 1)),
+                   sizeof(int32_t) * (tab->order - 1));
+      h.len = tab->order - 1;
     }
     return score_backed(h, w);
   }
@@ -172,16 +182,16 @@ struct A2pLmDec {
     NgKey k;
     k.len = h.len;
     std::memcpy(k.w, h.w, sizeof(int32_t) * h.len);
-    auto it = lm.find(k);
-    if (it == lm.end()) return false;
+    auto it = tab->lm.find(k);
+    if (it == tab->lm.end()) return false;
     return true;  // present as ngram (logp and/or bow entry)
   }
 
   LmState next_state(const LmState& h0, int32_t word) const {
-    int32_t w = (word >= 0 && word < (int32_t)in_vocab.size() &&
-                 in_vocab[word]) ? word : unk;
+    int32_t w = (word >= 0 && word < (int32_t)tab->in_vocab.size() &&
+                 tab->in_vocab[word]) ? word : tab->unk;
     LmState h = h0;
-    if (h.len == order - 1) {  // shift left, append
+    if (h.len == tab->order - 1) {  // shift left, append
       std::memmove(h.w, h.w + 1, sizeof(int32_t) * (h.len - 1));
       h.w[h.len - 1] = w;
     } else {
@@ -239,31 +249,27 @@ extern "C" A2pLmDec* a2p_lmdec_create(
     int64_t n_ng, int32_t unk_id, int32_t bos_id, float lm_weight,
     float oov_penalty, int32_t beam, int32_t am_topk) {
   if (order > kMaxOrder) return nullptr;
-  auto* d = new A2pLmDec();
-  d->order = order;
-  d->unk = unk_id;
-  d->bos = bos_id;
-  d->lm_weight = lm_weight;
-  d->oov_penalty = oov_penalty;
-  d->beam = beam;
-  d->am_topk = am_topk;
-  d->trie.emplace_back();
+  auto tab = std::make_shared<LmTables>();
+  tab->order = order;
+  tab->unk = unk_id;
+  tab->bos = bos_id;
+  tab->trie.emplace_back();
   const int32_t* u = lex_units;
   int32_t max_word = std::max(unk_id, bos_id);
   for (int32_t i = 0; i < n_lex; ++i) {
     int32_t node = 0;
     for (int32_t j = 0; j < lex_lens[i]; ++j) {
-      auto it = d->trie[node].children.find(u[j]);
-      if (it == d->trie[node].children.end()) {
-        d->trie.emplace_back();
-        int32_t idx = (int32_t)d->trie.size() - 1;
-        d->trie[node].children.emplace(u[j], idx);
+      auto it = tab->trie[node].children.find(u[j]);
+      if (it == tab->trie[node].children.end()) {
+        tab->trie.emplace_back();
+        int32_t idx = (int32_t)tab->trie.size() - 1;
+        tab->trie[node].children.emplace(u[j], idx);
         node = idx;
       } else {
         node = it->second;
       }
     }
-    d->trie[node].words.push_back(lex_word_ids[i]);
+    tab->trie[node].words.push_back(lex_word_ids[i]);
     max_word = std::max(max_word, lex_word_ids[i]);
     u += lex_lens[i];
   }
@@ -275,22 +281,42 @@ extern "C" A2pLmDec* a2p_lmdec_create(
       off += ng_lens[i];
     }
   }
-  d->in_vocab.assign((size_t)max_word + 2, 0);
+  tab->in_vocab.assign((size_t)max_word + 2, 0);
   {
     int64_t off = 0;
     for (int64_t i = 0; i < n_ng; ++i) {
       NgKey k;
       k.len = ng_lens[i];
       for (int32_t j = 0; j < k.len; ++j) k.w[j] = ng_words[off + j];
-      auto& e = d->lm[k];
+      auto& e = tab->lm[k];
       e.logp = ng_logp[i];
       e.bow = ng_bow[i];
       e.has_logp = !std::isnan(ng_logp[i]);
       e.has_bow = !std::isnan(ng_bow[i]);
-      if (k.len == 1 && e.has_logp) d->in_vocab[(size_t)k.w[0]] = 1;
+      if (k.len == 1 && e.has_logp) tab->in_vocab[(size_t)k.w[0]] = 1;
       off += ng_lens[i];
     }
   }
+  auto* d = new A2pLmDec();
+  d->tab = std::move(tab);
+  d->lm_weight = lm_weight;
+  d->oov_penalty = oov_penalty;
+  d->beam = beam;
+  d->am_topk = am_topk;
+  return d;
+}
+
+// Per-connection decoder over the SHARED tables of `src`: O(1) clone
+// (shared_ptr bump), empty bias — the caller attaches its own hotwords
+// via a2p_lmdec_set_bias. Safe to use concurrently with src (decode
+// reads tables only; all search state is call-local).
+extern "C" A2pLmDec* a2p_lmdec_clone(const A2pLmDec* src) {
+  auto* d = new A2pLmDec();
+  d->tab = src->tab;
+  d->lm_weight = src->lm_weight;
+  d->oov_penalty = src->oov_penalty;
+  d->beam = src->beam;
+  d->am_topk = src->am_topk;
   return d;
 }
 
@@ -342,7 +368,7 @@ extern "C" int64_t a2p_lmdec_decode(A2pLmDec* d, const float* rows,
   hyps[0].trie = 0;
   hyps[0].bias = -1;
   hyps[0].lm.len = 1;
-  hyps[0].lm.w[0] = d->bos;
+  hyps[0].lm.w[0] = d->tab->bos;
   hyps[0].words_hash = 14695981039346656037ull;
   hyps[0].arc = -1;
 
@@ -384,10 +410,10 @@ extern "C" int64_t a2p_lmdec_decode(A2pLmDec* d, const float* rows,
         if (use_bias) bias_delta = d->bias_step(&bias_state, tok);
         double base = hyp.score + am + bias_delta;
 
-        const auto& children = d->trie[(size_t)hyp.trie].children;
+        const auto& children = d->tab->trie[(size_t)hyp.trie].children;
         auto it = children.find(tok);
         if (it != children.end()) {
-          const TrieNode& nxt = d->trie[(size_t)it->second];
+          const TrieNode& nxt = d->tab->trie[(size_t)it->second];
           for (int32_t word : nxt.words) {
             Hyp h2;
             h2.score = base + d->lm_weight *
@@ -423,7 +449,7 @@ extern "C" int64_t a2p_lmdec_decode(A2pLmDec* d, const float* rows,
           h2.score = base + d->lm_weight * (double)d->oov_penalty;
           h2.trie = 0;
           h2.bias = bias_state;
-          h2.lm = d->next_state(hyp.lm, d->unk);
+          h2.lm = d->next_state(hyp.lm, d->tab->unk);
           uint64_t wh = hyp.words_hash;
           for (int32_t p : hyp.pending)
             wh = mix_hash(wh, (uint64_t)(uint32_t)p ^ 0xabcdull);

@@ -8,6 +8,8 @@ TpassOnlineStream-per-connection (websocket-server-2pass.h:49-65).
 """
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Any, Optional
 
@@ -68,6 +70,16 @@ class ServerModels:
     sp_axis: str = "sp"
     sp_threshold: int = 1024
 
+    def __post_init__(self):
+        # decode-graph resources load ONCE and are shared read-only by
+        # every connection (FunASRWfstDecoderInit contract,
+        # funasrruntime.cpp:836-894); per-connection work is the hotword
+        # bias attach + beam state only
+        self._res_lock = threading.RLock()
+        self._tlg_graph_cache = None
+        self._lm_base_cache = None
+        self._offline_rec_cache: "OrderedDict" = OrderedDict()
+
     def _punctuator(self) -> Optional[Punctuator]:
         if self.punc_params is None:
             return None
@@ -88,9 +100,13 @@ class ServerModels:
 
     def _make_lm_decoder(self, hotwords: Optional[dict] = None):
         if self.tlg_dir is not None:
-            from asr2pass_tpu.decode.tlg import TlgDecoder
+            from asr2pass_tpu.decode.tlg import TlgDecoder, TlgGraph
 
-            return TlgDecoder(self.tlg_dir, self.vocab.token2id,
+            with self._res_lock:
+                if self._tlg_graph_cache is None:
+                    self._tlg_graph_cache = TlgGraph(
+                        self.tlg_dir, self.vocab.token2id)
+            return TlgDecoder(self._tlg_graph_cache, self.vocab.token2id,
                               lm_weight=self.lm_weight, hotwords=hotwords)
         if self.lm is None or self.lexicon is None:
             return None
@@ -101,9 +117,16 @@ class ServerModels:
                                                       available)
 
             if available():
-                return NativeLmDecoder(
-                    self.lm, self.lexicon, self.vocab.token2id,
-                    lm_weight=self.lm_weight, hotwords=hotwords)
+                with self._res_lock:
+                    if self._lm_base_cache is None:
+                        self._lm_base_cache = NativeLmDecoder(
+                            self.lm, self.lexicon, self.vocab.token2id,
+                            lm_weight=self.lm_weight)
+                base = self._lm_base_cache
+                # hotword-less connections share the base decoder
+                # (decode keeps all search state call-local); hotworded
+                # ones get an O(1) clone over the shared tables
+                return base.clone(hotwords) if hotwords else base
         except Exception:
             pass
         from asr2pass_tpu.decode.context_graph import ContextGraph
@@ -192,3 +215,32 @@ class ServerModels:
             vad_cmvn=self.vad_cmvn, punc=self._punctuator(), itn=self.itn,
             vad_tail_sil=vad_tail_sil, vad_max_len=vad_max_len,
         )
+
+    def offline_recognizer_cached(self, vad_tail_sil: int = 800,
+                                  vad_max_len: int = 60000,
+                                  use_svs: bool = False,
+                                  svs_lang: str = "auto",
+                                  svs_itn: bool = True,
+                                  hotwords: Optional[dict] = None,
+                                  max_cached: int = 32
+                                  ) -> OfflineRecognizer:
+        """Per-request offline recognizer, cached by its option tuple —
+        the server must NOT rebuild recognizers (and with them LM/TLG
+        decoder state) on every offline upload. LRU-bounded so a hostile
+        stream of unique hotword sets cannot grow memory unboundedly."""
+        key = (vad_tail_sil, vad_max_len, use_svs, svs_lang, svs_itn,
+               tuple(sorted(hotwords.items())) if hotwords else None)
+        with self._res_lock:
+            rec = self._offline_rec_cache.get(key)
+            if rec is not None:
+                self._offline_rec_cache.move_to_end(key)
+                return rec
+        rec = self.create_offline_recognizer(
+            vad_tail_sil=vad_tail_sil, vad_max_len=vad_max_len,
+            use_svs=use_svs, svs_lang=svs_lang, svs_itn=svs_itn,
+            hotwords=hotwords)
+        with self._res_lock:
+            self._offline_rec_cache[key] = rec
+            while len(self._offline_rec_cache) > max_cached:
+                self._offline_rec_cache.popitem(last=False)
+        return rec

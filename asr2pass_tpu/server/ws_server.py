@@ -136,7 +136,7 @@ class AsrWsServer:
 
             samples = linear_resample(samples, st.audio_fs,
                                       self.models.asr_cfg.frontend.fs)
-        rec = self.models.create_offline_recognizer(
+        rec = self.models.offline_recognizer_cached(
             vad_tail_sil=st.vad_tail_sil or 800,
             vad_max_len=st.vad_max_len or 60000,
             use_svs=self.models.svs_params is not None,

@@ -99,3 +99,25 @@ def test_native_is_faster():
     nat.decode(rows, id2tok)
     t_nat = time.perf_counter() - t0
     assert t_nat < t_py  # typically 20-100x
+
+
+@pytest.mark.parametrize("seed", [20, 21])
+def test_clone_shares_tables_and_matches(seed):
+    """Per-connection clones over the shared LM tables (a2p_lmdec_clone)
+    decode exactly like freshly-built decoders — with and without
+    hotword bias — and survive the base being freed first (the tables
+    are refcounted in C++)."""
+    lm, lex, rng = _setup(seed)
+    base = bindings.NativeLmDecoder(lm, lex, TOKEN2ID, lm_weight=0.5)
+    hws = {CHARS[0] + CHARS[1]: 8.0}
+    fresh = bindings.NativeLmDecoder(lm, lex, TOKEN2ID, lm_weight=0.5,
+                                     hotwords=hws)
+    cl = base.clone(hws)
+    cl_plain = base.clone()
+    for _ in range(3):
+        rows = _rows(rng)
+        assert cl.decode(rows, id2tok) == fresh.decode(rows, id2tok)
+        assert cl_plain.decode(rows, id2tok) == base.decode(rows, id2tok)
+    del base, fresh
+    rows = _rows(rng)
+    assert isinstance(cl.decode(rows, id2tok), str)

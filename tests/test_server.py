@@ -424,3 +424,19 @@ def test_html_demo_protocol_surface():
     ):
         assert needle in page, needle
     assert page.count("<script>") == page.count("</script>")
+
+
+def test_offline_recognizer_cached_reuse(models):
+    """Offline uploads must not rebuild the recognizer per request: same
+    options return the SAME object; the cache is LRU-bounded."""
+    a = models.offline_recognizer_cached(vad_tail_sil=800)
+    b = models.offline_recognizer_cached(vad_tail_sil=800)
+    c = models.offline_recognizer_cached(vad_tail_sil=500)
+    h = models.offline_recognizer_cached(hotwords={"你好": 20})
+    assert a is b
+    assert c is not a and h is not a
+    # LRU bound: flooding with unique hotword sets evicts, never grows
+    for i in range(40):
+        models.offline_recognizer_cached(hotwords={f"w{i}": 20},
+                                         max_cached=8)
+    assert len(models._offline_rec_cache) <= 8
