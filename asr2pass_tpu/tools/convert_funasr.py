@@ -44,6 +44,7 @@ tensors loudly.
 from __future__ import annotations
 
 import argparse
+import math
 import os
 import re
 import sys
@@ -325,6 +326,7 @@ def convert_sensevoice_state_dict(sd: Dict[str, np.ndarray]) -> dict:
 
 CONVERTERS = {
     "asr": convert_state_dict,
+    "online": convert_state_dict,   # same module tree; split session pair
     "vad": convert_vad_state_dict,
     "punc": convert_punc_state_dict,
     "sensevoice": convert_sensevoice_state_dict,
@@ -444,14 +446,181 @@ def verify_against_onnx(src: str, params, kind: str, tol: float = 1e-3,
         jax_logits = np.asarray(ct_transformer.apply(
             params, cfg, jnp.asarray(ids)))
         diff = float(np.abs(onnx_logits - jax_logits).max())
+    elif kind == "vad":
+        # streaming FSMN-VAD session contract (fsmn-vad.cpp:72-135):
+        # [speech, in_cache_0..L-1] -> [probs, out_cache_0..L-1]; the
+        # cache carry ACROSS chunks is the contract under test, so drive
+        # three chunks and compare posteriors AND cache tensors
+        from asr2pass_tpu.models import fsmn_vad
+
+        in_dim = params["in1"]["w"].shape[0]
+        proj = params["blocks"][0]["proj"]["w"].shape[1]
+        lorder = params["blocks"][0]["taps"].shape[0]
+        n_blocks = len(params["blocks"])
+        t = 25
+        ex = OnnxExecutor(g)
+        caches_onnx = [np.zeros((1, proj, lorder - 1, 1), np.float32)
+                       for _ in range(n_blocks)]
+        caches_jax = [jnp.zeros((1, lorder - 1, proj), jnp.float32)
+                      for _ in range(n_blocks)]
+        diff = 0.0
+        for _ in range(3):
+            feats = (rng.standard_normal((1, t, in_dim)) * 0.5
+                     ).astype(np.float32)
+            out = ex(feats, *caches_onnx)
+            probs_o = np.asarray(out[0])
+            caches_onnx = [np.asarray(c) for c in out[1:]]
+            probs_j, caches_jax = fsmn_vad.apply(params, jnp.asarray(feats),
+                                                 caches_jax)
+            diff = max(diff, float(np.abs(probs_o
+                                          - np.asarray(probs_j)).max()))
+            for co, cj in zip(caches_onnx, caches_jax):
+                diff = max(diff, float(np.abs(
+                    co[:, :, :, 0].transpose(0, 2, 1)
+                    - np.asarray(cj)).max()))
+    elif kind == "online":
+        diff = _verify_online_pair(src, g, params, rng)
     else:
         raise NotImplementedError(
-            f"--verify supports kinds asr/punc (got {kind}); vad and "
+            f"--verify supports kinds asr/online/vad/punc (got {kind}); "
             f"sensevoice graphs verify through tests/test_convert_parity.py")
     if diff > tol:
         raise AssertionError(
             f"converted model disagrees with executed model.onnx: "
             f"max|diff|={diff:.2e} > {tol:g}")
+    return diff
+
+
+def _verify_online_pair(src: str, enc_g, params, rng,
+                        n_chunks: int = 3) -> float:
+    """Verify the converted streaming model against the EXECUTED
+    encoder/decoder ONNX pair — the pass-1 session contract
+    (paraformer-online.cpp:415-523). Drives the reference's host
+    algorithm: sqrt(d)-scale + absolute pos-emb (GetPosEmb :240-268),
+    [cache | new] windows (AddOverlapChunk :397-413), reference-masked
+    CIF search with the normalized carry row (CifSearch :270-345), and
+    per-layer FSMN cache passing through decoder.onnx — comparing the
+    JAX encoder/alphas/decoder outputs stage by stage."""
+    import jax.numpy as jnp
+
+    from asr2pass_tpu import config as cfg_mod
+    from asr2pass_tpu.models import cif, sanm_decoder, sanm_encoder
+    from asr2pass_tpu.models.layers import length_mask
+    from asr2pass_tpu.tools.onnx_reader import OnnxExecutor, read_onnx
+
+    dec_path = os.path.join(src, "decoder.onnx")
+    if not os.path.exists(dec_path):
+        raise FileNotFoundError(
+            f"--verify kind=online needs {dec_path} (the streaming export "
+            f"is an encoder/decoder session pair)")
+    cfg = cfg_mod.load_paraformer_yaml(os.path.join(src, "config.yaml"))
+    enc_ex = OnnxExecutor(enc_g)
+    dec_ex = OnnxExecutor(read_onnx(dec_path))
+
+    def run_graph(ex, candidates):
+        """Feed by declared input name (torch's exporter prunes unused
+        inputs like the length tensors); falls back to positional order
+        when the export used other names."""
+        if all(n in candidates for n in ex.g.inputs):
+            return ex(*[candidates[n] for n in ex.g.inputs])
+        vals = list(candidates.values())
+        return ex(*vals[: len(ex.g.inputs)])
+    lookback, center, lookahead = cfg.chunk_size
+    cache_len = lookback + lookahead
+    d = cfg.encoder.output_size
+    lfr_dim = cfg.encoder.input_size
+    kernel = params["decoder"]["blocks"]["fsmn"]["taps"].shape[1]
+    n_dec = params["decoder"]["blocks"]["fsmn"]["taps"].shape[0]
+    thr = cfg.predictor.threshold
+
+    def posemb(start, length, depth):
+        log_inc = math.log(10000.0) / (depth // 2 - 1)
+        inv = np.exp(np.arange(depth // 2) * -log_inc)
+        p = (np.arange(start + 1, start + length + 1)[:, None]
+             * inv[None, :])
+        return np.concatenate([np.sin(p), np.cos(p)], axis=-1)
+
+    feats_cache = np.zeros((cache_len, lfr_dim), np.float32)
+    caches_onnx = [np.zeros((1, d, kernel - 1), np.float32)
+                   for _ in range(n_dec)]
+    caches_jax = jnp.zeros((n_dec, 1, kernel - 1, d), jnp.float32)
+    # CIF carry: the reference stores (integrate, frame/integrate) as a
+    # pseudo alpha/hidden row prepended to the next chunk
+    cif_alpha_carry, cif_hidden_carry = 0.0, np.zeros(d, np.float32)
+    pos = 0
+    diff = 0.0
+    for ci in range(n_chunks):
+        is_last = ci == n_chunks - 1
+        new = (rng.standard_normal((center, lfr_dim)) * 0.5
+               ).astype(np.float32)
+        newp = (new * math.sqrt(d)
+                + posemb(pos, center, lfr_dim)).astype(np.float32)
+        pos += center
+        window = np.concatenate([feats_cache, newp]).astype(np.float32)
+        w = window.shape[0]
+        enc_out = run_graph(enc_ex, {
+            "speech": window[None], "speech_lengths":
+            np.asarray([w], np.int32)})
+        enc_o, alphas_o = np.asarray(enc_out[0]), np.asarray(enc_out[-1])
+
+        mask = length_mask(jnp.asarray([w]), w)
+        enc_j = sanm_encoder.apply(params["encoder"],
+                                   jnp.asarray(window[None]), mask,
+                                   add_posenc=False, d_model=d,
+                                   heads=cfg.encoder.attention_heads)
+        alphas_j = cif.alphas_head(params["predictor"], enc_j,
+                                   cfg.predictor, mask)
+        diff = max(diff, float(np.abs(enc_o - np.asarray(enc_j)).max()))
+        diff = max(diff,
+                   float(np.abs(alphas_o - np.asarray(alphas_j)).max()))
+
+        # reference alpha masking + host CIF with the carry row
+        al = alphas_o[0].copy()
+        al[:lookback] = 0.0
+        al[lookback + center:] = 0.0
+        hid = np.concatenate([cif_hidden_carry[None], enc_o[0]])
+        alp = np.concatenate([[cif_alpha_carry], al])
+        if is_last:
+            hid = np.concatenate([hid, np.zeros((1, d), np.float32)])
+            alp = np.append(alp, cfg.predictor.tail_threshold)
+        fires, integ, fr = [], 0.0, np.zeros(d, np.float32)
+        for a, h in zip(alp, hid):
+            if integ + a < thr:
+                integ += a
+                fr = fr + a * h
+            else:
+                fires.append(fr + (thr - integ) * h)
+                integ += a - thr
+                fr = integ * h
+        cif_alpha_carry = integ
+        cif_hidden_carry = (fr / integ if integ > 0.0 else fr
+                            ).astype(np.float32)
+
+        if fires:
+            embeds = np.stack(fires)[None].astype(np.float32)
+            u = embeds.shape[1]
+            feeds = {"enc": enc_o, "enc_len": np.asarray([w], np.int32),
+                     "acoustic_embeds": embeds,
+                     "acoustic_embeds_len": np.asarray([u], np.int32)}
+            for li, c in enumerate(caches_onnx):
+                feeds[f"in_cache_{li}"] = c
+            dec_out = run_graph(dec_ex, feeds)
+            logits_o = np.asarray(dec_out[0])
+            caches_onnx = [np.asarray(c)
+                           for c in dec_out[len(dec_out) - n_dec:]]
+            logits_j, caches_jax = sanm_decoder.apply_streaming(
+                params["decoder"], jnp.asarray(embeds), enc_j,
+                caches_jax, enc_mask=mask,
+                heads=cfg.decoder.attention_heads)
+            diff = max(diff,
+                       float(np.abs(logits_o
+                                    - np.asarray(logits_j)).max()))
+            diff = max(diff, float(np.abs(
+                np.stack(caches_onnx).transpose(0, 1, 3, 2)
+                - np.asarray(caches_jax)).max()))
+        feats_cache = window[-cache_len:]
+    if not pos:
+        raise AssertionError("online verify drove no chunks")
     return diff
 
 
@@ -504,10 +673,20 @@ def main(argv=None):
         from asr2pass_tpu.tools.onnx_reader import read_onnx
 
         sd = read_onnx(onnx_path).initializers
+        # streaming exports are an encoder/decoder session PAIR
+        # (paraformer-online.cpp:415-523): merge the decoder graph's
+        # initializers so the full module tree converts in one pass
+        dec_path = os.path.join(args.src, "decoder.onnx")
+        if os.path.exists(dec_path):
+            sd = dict(sd)
+            sd.update(read_onnx(dec_path).initializers)
         # strip any export prefix and trailing const-folding suffixes
         sd = {k.removeprefix("onnx::").split("::")[0]: v
               for k, v in sd.items()}
     kind = _guess_kind(sd) if args.kind == "auto" else args.kind
+    if (kind == "asr" and args.kind == "auto"
+            and os.path.exists(os.path.join(args.src, "decoder.onnx"))):
+        kind = "online"
     print(f"converting as kind={kind}")
     params = CONVERTERS[kind](sd)
 

@@ -295,17 +295,19 @@ class _SrcAttn(nn.Module):
         self.linear_out = nn.Linear(d_model, d_model)
 
     def forward(self, x, mem):
-        b, t, d = x.shape
-        s = mem.shape[1]
+        b = x.shape[0]
         q = self.linear_q(x)
         kv = self.linear_k_v(mem)
         k, v = torch.split(kv, kv.shape[-1] // 2, dim=-1)
-        qh = q.view(b, t, self.h, self.d_k).transpose(1, 2)
-        kh = k.view(b, s, self.h, self.d_k).transpose(1, 2)
-        vh = v.view(b, s, self.h, self.d_k).transpose(1, 2)
+        # -1 time dims keep the traced graph valid for any query length
+        # (the online decoder's CIF fire count varies per chunk)
+        qh = q.view(b, -1, self.h, self.d_k).transpose(1, 2)
+        kh = k.view(b, -1, self.h, self.d_k).transpose(1, 2)
+        vh = v.view(b, -1, self.h, self.d_k).transpose(1, 2)
         scores = torch.matmul(qh * self.d_k ** -0.5, kh.transpose(-2, -1))
         att = torch.softmax(scores, dim=-1)
-        ctx = torch.matmul(att, vh).transpose(1, 2).reshape(b, t, -1)
+        ctx = torch.matmul(att, vh).transpose(1, 2)
+        ctx = ctx.reshape(b, -1, self.h * self.d_k)
         return self.linear_out(ctx)
 
 
@@ -382,6 +384,188 @@ class TorchCTTransformer(nn.Module):
 
     def forward(self, inputs, text_lengths):
         return self.decoder(self.encoder(self.embed(inputs)))
+
+
+class TorchOnlineEncoder(nn.Module):
+    """FunASR streaming-export encoder.onnx contract
+    (/root/reference/onnxruntime/src/paraformer-online.cpp:415-462):
+    inputs [speech (1, W, lfr_dim) — already sqrt(d)-scaled and
+    pos-embedded ON HOST (GetPosEmb, :240-268; scaling :555-559),
+    speech_lengths int32] -> outputs [enc, enc_lens, alphas]. Same
+    encoder/predictor weights+keys as the offline tree, minus the
+    in-graph posenc."""
+
+    def __init__(self, d_in, d_model, blocks, heads, ffn, kernel):
+        super().__init__()
+        enc = nn.Module()
+        enc.encoders0 = nn.ModuleList(
+            [EncoderLayerSANM(d_in, d_model, heads, ffn, kernel)])
+        enc.encoders = nn.ModuleList(
+            [EncoderLayerSANM(d_model, d_model, heads, ffn, kernel)
+             for _ in range(blocks - 1)])
+        enc.after_norm = nn.LayerNorm(d_model)
+        self.encoder = enc
+        self.predictor = CifPredictorV2(d_model)
+
+    def forward(self, speech, speech_lengths):
+        x = speech
+        for layer in self.encoder.encoders0:
+            x = layer(x)
+        for layer in self.encoder.encoders:
+            x = layer(x)
+        enc = self.encoder.after_norm(x)
+        t = speech.shape[1]
+        mask = (torch.arange(t).unsqueeze(0)
+                < speech_lengths.unsqueeze(-1)).float()
+        ctx = enc.transpose(1, 2)
+        queries = self.predictor.cif_conv1d(self.predictor.pad(ctx))
+        output = torch.relu(queries + ctx).transpose(1, 2)
+        alphas = (torch.sigmoid(self.predictor.cif_output(output))
+                  .squeeze(-1) * mask)
+        return enc, speech_lengths, alphas
+
+
+class _FsmnDecoderAttnCached(nn.Module):
+    """MultiHeadedAttentionSANMDecoder streaming form: fully-causal
+    depthwise conv over [cache | x]; cache [1, D, kernel-1] (the
+    reference's fsmn_shape_ {1, fsmn_dims, fsmn_lorder},
+    paraformer-online.cpp:374-383)."""
+
+    def __init__(self, d_model, kernel):
+        super().__init__()
+        self.fsmn_block = nn.Conv1d(d_model, d_model, kernel, stride=1,
+                                    padding=0, groups=d_model, bias=False)
+        self.kernel = kernel
+
+    def forward(self, x, cache):
+        h = x.transpose(1, 2)                          # [1, D, T]
+        ext = torch.cat([cache, h], dim=2)             # [1, D, k-1+T]
+        out = self.fsmn_block(ext)                     # valid conv -> T
+        # negative start keeps the traced Slice valid for any chunk length
+        new_cache = ext[:, :, -(self.kernel - 1):]
+        return out.transpose(1, 2) + x, new_cache
+
+
+class DecoderLayerSANMCached(nn.Module):
+    """DecoderLayerSANM with the streaming fsmn-cache contract; weights
+    and state-dict keys identical to the offline layer."""
+
+    def __init__(self, d_model, heads, ffn, kernel):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(d_model)
+        self.feed_forward = FeedForward(d_model, ffn)
+        self.norm2 = nn.LayerNorm(d_model)
+        self.self_attn = _FsmnDecoderAttnCached(d_model, kernel)
+        self.norm3 = nn.LayerNorm(d_model)
+        self.src_attn = _SrcAttn(d_model, heads)
+
+    def forward(self, x, enc, cache):
+        residual = x
+        h = self.feed_forward(self.norm1(x))
+        m, new_cache = self.self_attn(self.norm2(h), cache)
+        x = residual + m
+        return x + self.src_attn(self.norm3(x), enc), new_cache
+
+
+class TorchOnlineDecoder(nn.Module):
+    """FunASR streaming-export decoder.onnx contract
+    (paraformer-online.cpp:474-512): inputs [enc, enc_lens,
+    acoustic_embeds, acoustic_embeds_len, in_cache_0..L-1] -> outputs
+    [logits, sample_ids, out_cache_0..L-1]. The acoustic-embeds time
+    axis is dynamic (the per-chunk CIF fire count varies), so head
+    reshapes use -1."""
+
+    def __init__(self, d_model, blocks, heads, ffn, kernel, vocab):
+        super().__init__()
+        dec = nn.Module()
+        dec.decoders = nn.ModuleList(
+            [DecoderLayerSANMCached(d_model, heads, ffn, kernel)
+             for _ in range(blocks)])
+        dec.decoders3 = nn.ModuleList([_Decoders3(d_model, ffn)])
+        dec.after_norm = nn.LayerNorm(d_model)
+        dec.output_layer = nn.Linear(d_model, vocab)
+        self.decoder = dec
+
+    def forward(self, enc, enc_lens, acoustic_embeds, acoustic_embeds_len,
+                *caches):
+        x = acoustic_embeds
+        new_caches = []
+        for layer, c in zip(self.decoder.decoders, caches):
+            x, nc = layer(x, enc, c)
+            new_caches.append(nc)
+        for layer in self.decoder.decoders3:
+            x = layer(x)
+        logits = self.decoder.output_layer(self.decoder.after_norm(x))
+        ids = torch.argmax(logits, dim=-1)
+        return (logits, ids, *new_caches)
+
+
+class _VadLinear(nn.Module):
+    """FunASR LinearTransform/AffineTransform wrapper (`.linear` inner)."""
+
+    def __init__(self, din, dout, bias=True):
+        super().__init__()
+        self.linear = nn.Linear(din, dout, bias=bias)
+
+    def forward(self, x):
+        return self.linear(x)
+
+
+class _VadFsmnBlock(nn.Module):
+    """FunASR FSMN BasicBlock with the streaming-cache contract: proj
+    (no bias) -> causal depthwise conv over [cache | x] with inner
+    residual -> affine -> relu. Cache [1, proj, lorder-1, 1] per the
+    session the reference drives (fsmn-vad.cpp:95-101, {1,128,19,1})."""
+
+    def __init__(self, hidden, proj, lorder):
+        super().__init__()
+        self.add_module("0", _VadLinear(hidden, proj, bias=False))
+        conv = nn.Module()
+        conv.conv_left = nn.Conv2d(proj, proj, (lorder, 1), stride=1,
+                                   padding=0, groups=proj, bias=False)
+        self.add_module("1", conv)
+        self.add_module("2", _VadLinear(proj, hidden))
+        self.lorder = lorder
+
+    def forward(self, x, cache):
+        p = getattr(self, "0")(x)                      # [1, T, proj]
+        h = p.transpose(1, 2).unsqueeze(-1)            # [1, proj, T, 1]
+        ext = torch.cat([cache, h], dim=2)             # [1, proj, C+T, 1]
+        mem = getattr(self, "1").conv_left(ext) + h    # inner residual
+        new_cache = ext[:, :, -(self.lorder - 1):, :]
+        out = torch.relu(getattr(self, "2")(
+            mem.squeeze(-1).transpose(1, 2)))
+        return out, new_cache
+
+
+class TorchFsmnVad(nn.Module):
+    """FunASR FsmnVadStreaming module tree (state-dict keys
+    encoder.in_linear1/2, encoder.fsmn.N.{0,1,2}, encoder.out_linear1/2)
+    with the reference ONNX session I/O: [speech, in_cache_0..L-1] ->
+    [probs, out_cache_0..L-1] (fsmn-vad.cpp:72-135)."""
+
+    def __init__(self, input_dim, affine_dim, linear_dim, proj_dim,
+                 layers, lorder, output_dim):
+        super().__init__()
+        enc = nn.Module()
+        enc.in_linear1 = _VadLinear(input_dim, affine_dim)
+        enc.in_linear2 = _VadLinear(affine_dim, linear_dim)
+        enc.fsmn = nn.ModuleList(
+            [_VadFsmnBlock(linear_dim, proj_dim, lorder)
+             for _ in range(layers)])
+        enc.out_linear1 = _VadLinear(linear_dim, affine_dim)
+        enc.out_linear2 = _VadLinear(affine_dim, output_dim)
+        self.encoder = enc
+
+    def forward(self, speech, *caches):
+        e = self.encoder
+        x = torch.relu(e.in_linear2(e.in_linear1(speech)))
+        new_caches = []
+        for blk, c in zip(e.fsmn, caches):
+            x, nc = blk(x, c)
+            new_caches.append(nc)
+        probs = torch.softmax(e.out_linear2(e.out_linear1(x)), dim=-1)
+        return (probs, *new_caches)
 
 
 def export_onnx(module: nn.Module, example_inputs, path: str,
