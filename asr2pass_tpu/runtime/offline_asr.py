@@ -62,7 +62,17 @@ def _hw_bucket(n: int) -> int:
 class ParaformerOffline:
     def __init__(self, params, cfg: ParaformerConfig, vocab: Vocab,
                  cmvn=None, lm_decoder=None, sp_mesh=None,
-                 sp_axis: str = "sp", sp_threshold: int = 1024):
+                 sp_axis: str = "sp", sp_threshold: int = 1024,
+                 tp_mesh=None):
+        # optional tensor parallelism (SURVEY §2.5 model-parallel row):
+        # params sharded Megatron-style over a ("dp","tp") mesh
+        # (parallel/sharding.py rules); GSPMD inserts the ICI collectives
+        # from the NamedShardings alone — the forward code is unchanged.
+        if tp_mesh is not None:
+            from asr2pass_tpu.parallel.sharding import shard_params
+
+            params = shard_params(params, tp_mesh)
+        self.tp_mesh = tp_mesh
         self.params = params
         self.cfg = cfg
         self.vocab = vocab

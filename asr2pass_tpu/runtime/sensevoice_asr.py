@@ -34,7 +34,16 @@ def _bucket(n: int) -> int:
 class SenseVoiceOffline:
     def __init__(self, params, cfg: SenseVoiceConfig, vocab: Vocab,
                  cmvn=None, lang: str = "auto", use_itn_token: bool = True,
-                 context: Optional[ContextGraph] = None, beam: int = 0):
+                 context: Optional[ContextGraph] = None, beam: int = 0,
+                 tp_mesh=None):
+        # Megatron-sharded params over a ("dp","tp") mesh when given —
+        # the north-star pod-scale SenseVoice pass-2 (BASELINE config 5);
+        # GSPMD derives the collectives from the shardings
+        if tp_mesh is not None:
+            from asr2pass_tpu.parallel.sharding import shard_params
+
+            params = shard_params(params, tp_mesh)
+        self.tp_mesh = tp_mesh
         self.params = params
         self.cfg = cfg
         self.vocab = vocab

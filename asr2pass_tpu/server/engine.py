@@ -69,6 +69,11 @@ class ServerModels:
     sp_mesh: Any = None
     sp_axis: str = "sp"
     sp_threshold: int = 1024
+    # tensor parallelism for the pass-2 model (SURVEY §2.5 model-parallel
+    # row; BASELINE north-star config 5): a ("dp","tp") mesh from
+    # parallel/sharding.make_mesh — offline/SenseVoice recognizers shard
+    # their params Megatron-style over it
+    tp_mesh: Any = None
 
     def __post_init__(self):
         # decode-graph resources load ONCE and are shared read-only by
@@ -171,12 +176,14 @@ class ServerModels:
                     self.svs_params, self.svs_cfg,
                     self.svs_vocab or self.vocab, cmvn=self.svs_cmvn,
                     lang=svs_lang, use_itn_token=svs_itn,
+                    tp_mesh=self.tp_mesh,
                 )
             else:
                 offline = ParaformerOffline(
                     self.asr_params, self.asr_cfg, self.vocab,
                     cmvn=self.asr_cmvn,
                     lm_decoder=self._make_lm_decoder(hotwords),
+                    tp_mesh=self.tp_mesh,
                 )
         return TwoPassSession(
             vad, online, offline, punc=self._punctuator(), itn=self.itn,
@@ -201,6 +208,7 @@ class ServerModels:
             asr = SenseVoiceOffline(
                 self.svs_params, self.svs_cfg, self.svs_vocab or self.vocab,
                 cmvn=self.svs_cmvn, lang=svs_lang, use_itn_token=svs_itn,
+                tp_mesh=self.tp_mesh,
             )
         else:
             asr = ParaformerOffline(
@@ -209,6 +217,7 @@ class ServerModels:
                 lm_decoder=self._make_lm_decoder(hotwords),
                 sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
                 sp_threshold=self.sp_threshold,
+                tp_mesh=self.tp_mesh,
             )
         return OfflineRecognizer(
             asr, vad_params=self.vad_params, vad_cfg=self.vad_cfg,

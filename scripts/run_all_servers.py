@@ -21,6 +21,11 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def build_cmd(entry: dict):
+    """Child argv + env. `device: K` pins the child to chip K two ways:
+    TPU_VISIBLE_DEVICES so the TPU runtime claims ONLY that chip (one
+    engine process per chip — the TPU analogue of supervisord's three
+    CPU servers, supervisord.conf:11-45), plus --device for backends
+    where visibility masking is unavailable (CPU test meshes)."""
     cmd = [sys.executable, os.path.join(HERE, "run_server.py"),
            "--port", str(entry["port"])]
     if entry.get("demo"):
@@ -37,7 +42,19 @@ def build_cmd(entry: dict):
         cmd.append("--itn")
     if entry.get("decode_workers"):
         cmd += ["--decode-workers", str(entry["decode_workers"])]
-    return cmd
+    if entry.get("engine"):
+        cmd.append("--engine")
+    if entry.get("tp_devices"):
+        cmd += ["--tp-devices", str(entry["tp_devices"])]
+    if entry.get("cpu"):
+        cmd.append("--cpu")
+    env = dict(os.environ)
+    if "device" in entry:
+        dev = str(entry["device"])
+        env["TPU_VISIBLE_DEVICES"] = dev
+        env["CUDA_VISIBLE_DEVICES"] = dev
+        cmd += ["--device", dev]
+    return cmd, env
 
 
 def main():
@@ -63,7 +80,8 @@ def main():
     signal.signal(signal.SIGINT, shutdown)
 
     for entry in cfg["servers"]:
-        procs[entry["name"]] = subprocess.Popen(build_cmd(entry))
+        cmd, env = build_cmd(entry)
+        procs[entry["name"]] = subprocess.Popen(cmd, env=env)
         retries[entry["name"]] = 0
         print(f"started {entry['name']} on port {entry['port']} "
               f"(pid {procs[entry['name']].pid})")
@@ -80,7 +98,8 @@ def main():
                 retries[name] += 1
                 print(f"{name} exited rc={proc.returncode}; restart "
                       f"{retries[name]}/{retries_max}")
-                procs[name] = subprocess.Popen(build_cmd(entry))
+                cmd, env = build_cmd(entry)
+                procs[name] = subprocess.Popen(cmd, env=env)
     for proc in procs.values():
         try:
             proc.wait(timeout=10)

@@ -53,6 +53,16 @@ def main():
                    help="max per-connection offline upload size (MB)")
     p.add_argument("--certfile", default="")
     p.add_argument("--keyfile", default="")
+    p.add_argument("--tp-devices", type=int, default=0,
+                   help="shard the pass-2 model Megatron-style over this "
+                        "many devices (tensor parallelism; 0 = off). For "
+                        "models too big for one chip's HBM — GSPMD "
+                        "inserts the ICI collectives from the sharding "
+                        "rules (parallel/sharding.py)")
+    p.add_argument("--device", type=int, default=-1,
+                   help="pin this server process to one device index "
+                        "(per-chip data parallelism: run_all_servers "
+                        "starts one process per chip; -1 = default)")
     p.add_argument("--sp-devices", type=int, default=0,
                    help="shard offline segments longer than --sp-threshold"
                         " LFR frames over this many devices (sequence "
@@ -72,6 +82,23 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.device >= 0:
+        # per-chip process pinning (the reference's supervisord runs three
+        # CPU servers; the TPU equivalent is one engine process per chip):
+        # every un-annotated computation and array lands on this device
+        import jax
+
+        devs = jax.devices()
+        if args.device >= len(devs):
+            if len(devs) == 1:
+                # TPU_VISIBLE_DEVICES already masked this process down to
+                # its one chip — index 0 IS the requested device
+                args.device = 0
+            else:
+                p.error(f"--device {args.device} out of range "
+                        f"({len(devs)} devices)")
+        jax.config.update("jax_default_device", devs[args.device])
+        logging.info("pinned to device %s", devs[args.device])
 
     if args.demo:
         import jax
@@ -177,6 +204,14 @@ def main():
         devs = _jax.devices()[: args.sp_devices]
         models.sp_mesh = Mesh(_np.array(devs), ("sp",))
         models.sp_threshold = args.sp_threshold
+
+    if args.tp_devices:
+        from asr2pass_tpu.parallel.sharding import make_mesh
+
+        # all tp_devices on the tp axis (dp=1): pass-2 params shard
+        # Megatron-style; any serving batch size stays valid
+        models.tp_mesh = make_mesh(n_devices=args.tp_devices,
+                                   tp=args.tp_devices)
 
     ssl_ctx = None
     if args.certfile:
