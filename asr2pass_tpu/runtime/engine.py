@@ -226,6 +226,8 @@ class _Slot:
     p2_inflight: int = 0               # segments handed to the pass-2 lane
     p1_inflight: int = 0               # chunks in the dispatched-not-yet-
                                        # fetched pass-1 batch (pipelining)
+    vd_inflight: int = 0               # VAD posterior batches dispatched
+                                       # but not yet decided (async lane)
     # fused pass-1 front-end host mirrors (exact StreamingFrontend
     # accounting; the mel itself stays device-resident)
     p1_groups: list = field(default_factory=list)   # queued (samples, fin)
@@ -239,7 +241,8 @@ class _Slot:
 
 class StreamEngine:
     def __init__(self, models, capacity: int = 64, mode: str = "2pass",
-                 pass2_async: bool = False, pipeline: bool = True):
+                 pass2_async: bool = False, pipeline: bool = True,
+                 vad_async: bool = False):
         self.models = models
         self.capacity = capacity
         self.mode = mode
@@ -316,6 +319,21 @@ class StreamEngine:
             self._p1_thread = threading.Thread(
                 target=self._p1_collector, daemon=True, name="pass1-collect")
             self._p1_thread.start()
+        # async VAD-decide lane (serving default via ws_server/bench): the
+        # posterior fetch is a device SYNC — profiled at ~214-387 ms p50 of
+        # a ~273-423 ms tick at 128 streams (scripts/tick_breakdown.py),
+        # waiting behind the queued pass-1 device steps, NOT host work.
+        # Moving fetch + automaton + splitter to a FIFO worker makes the
+        # tick dispatch-only, so host staging and device compute fully
+        # overlap (the same pipeline move as the pass-1 collector).
+        self._vad_async = vad_async
+        self._vd_queue: "queue.Queue" = queue.Queue()
+        self._vd_outstanding = 0
+        self._vd_thread = None
+        if vad_async:
+            self._vd_thread = threading.Thread(
+                target=self._vd_collector, daemon=True, name="vad-decide")
+            self._vd_thread.start()
 
     def warmup(self):
         """Compile the batched VAD + ASR steps before serving traffic
@@ -345,7 +363,7 @@ class StreamEngine:
         websocket-server-2pass.cpp:424-523)."""
         for sid, slot in enumerate(self.slots):
             if (not slot.active and slot.p1_inflight == 0
-                    and slot.p2_inflight == 0):
+                    and slot.p2_inflight == 0 and slot.vd_inflight == 0):
                 # reclaim is deferred while the previous connection still
                 # has work in the async lanes — those lanes hold the OLD
                 # slot object, whose counters gate this branch
@@ -429,13 +447,17 @@ class StreamEngine:
                 and slot.p1_flush_at is None
                 and not slot.seg_queue
                 and slot.p2_inflight == 0
-                and slot.p1_inflight == 0)
+                and slot.p1_inflight == 0
+                and slot.vd_inflight == 0)
 
     # -- the batched tick ------------------------------------------------
     def step(self):
         """One pipelined tick:
              1. stage + DISPATCH the fused VAD step (async)
-             2. fetch VAD posteriors; automatons, splitter, ASR front-end
+             2. VAD posterior fetch + automatons + splitter — on the
+                vad-decide lane when vad_async (the fetch is a device
+                sync; keeping it off the tick thread overlaps host
+                staging with device compute), else inline
              3. DISPATCH this tick's pass-1 batch — fetched + detokenized
                 on the collector thread, off the tick critical path
              4. hand segments to the pass-2 lane
@@ -444,15 +466,23 @@ class StreamEngine:
 
         with METRICS.stage("tick_vad_dispatch"):
             ctx = self._vad_stage_dispatch()
-        with METRICS.stage("tick_vad_decide"):
-            self._vad_decide(ctx)
+        if self._vad_async:
+            if ctx is not None:
+                with self._results_lock:
+                    for _, slot, _, _, _ in ctx[1]:
+                        slot.vd_inflight += 1
+                    self._vd_outstanding += 1
+                self._vd_queue.put(ctx)
+        else:
+            with METRICS.stage("tick_vad_decide"):
+                self._vad_decide(ctx)
         with METRICS.stage("tick_p1_dispatch"):
             self._asr_step()
         with METRICS.stage("tick_pass2_handoff"):
             self._pass2()
 
     def has_inflight(self) -> bool:
-        return self._p1_outstanding > 0
+        return self._p1_outstanding > 0 or self._vd_outstanding > 0
 
     def slot_has_work(self, slot) -> bool:
         """True when a slot has queued audio/frames/segments a step() would
@@ -505,7 +535,7 @@ class StreamEngine:
         total_new = self._vad_total.astype(np.int32)
         k_emit = np.zeros(self.capacity, np.int32)
         finals = np.zeros(self.capacity, bool)
-        work = []  # (sid, samples, is_final, n_vad_rows)
+        work = []  # (sid, slot, samples, is_final, n_vad_rows)
         for sid, samples, is_final, buf, nf in staged:
             waves[sid, : min(len(buf), self._vad_need)] = \
                 buf[: self._vad_need]
@@ -521,13 +551,13 @@ class StreamEngine:
             if is_final:
                 self._vad_total[sid] = 0
                 self._vad_next[sid] = 0
-                slot = self.slots[sid]
-                slot.vad_frontend.reset()   # drop sub-frame residual
+                self.slots[sid].vad_frontend.reset()  # drop residual
                 finals[sid] = True
             else:
                 self._vad_total[sid] = total
                 self._vad_next[sid] = upto
-            work.append((sid, samples, is_final, int(k_emit[sid])))
+            work.append((sid, self.slots[sid], samples, is_final,
+                         int(k_emit[sid])))
         probs, self._vad_hist, self.vad_caches = self._vad_step(
             m.vad_params, self._vad_means, self._vad_vars,
             jnp.asarray(waves), jnp.asarray(n_new), jnp.asarray(win_start),
@@ -537,7 +567,30 @@ class StreamEngine:
         # after last tick's pass-1 results are collected
         return probs, work
 
-    def _vad_decide(self, ctx):
+    def _vd_collector(self):
+        """Async VAD-decide lane: a single FIFO worker (per-slot decision
+        order preserved) fetches each dispatched posterior batch and runs
+        the automatons + splitter, feeding the pass-1 groups and pass-2
+        segment queues the tick consumes."""
+        while True:
+            ctx = self._vd_queue.get()
+            if ctx is None:
+                return
+            try:
+                self._vad_decide(ctx, counted=True)
+            except Exception:  # pragma: no cover - keep the lane alive
+                import logging
+
+                logging.getLogger("asr2pass.engine").exception(
+                    "vad-decide lane failure")
+                with self._results_lock:
+                    for _, slot, _, _, _ in ctx[1]:
+                        slot.vd_inflight -= 1
+            finally:
+                with self._results_lock:
+                    self._vd_outstanding -= 1
+
+    def _vad_decide(self, ctx, counted: bool = False):
         from asr2pass_tpu.runtime.metrics import GLOBAL as METRICS
         if ctx is None:
             return
@@ -549,8 +602,14 @@ class StreamEngine:
         # the online frames into per-slot groups split at final flags so
         # the ASR front-ends batch the same way
         _t_sm = time.perf_counter()
-        for sid, samples, is_final, n in work:
-            slot = self.slots[sid]
+        for sid, slot, samples, is_final, n in work:
+            if self.slots[sid] is not slot:
+                # connection replaced since dispatch: drop the decision
+                # (captured-object rule; counters settle in finally below)
+                if counted:
+                    with self._results_lock:
+                        slot.vd_inflight -= 1
+                continue
             # probs here is the device-summed sil posterior [nf]; the slot
             # automaton was built with default sil_pdf_ids=(0,), so a
             # [n, 1] column is the exact equivalent of the full pdf row
@@ -583,6 +642,9 @@ class StreamEngine:
             slot.p1_groups.extend(gs)
             if is_final:
                 slot.splitter.reset()
+            if counted:
+                with self._results_lock:
+                    slot.vd_inflight -= 1
         METRICS.stages["vd_automaton"].add(time.perf_counter() - _t_sm)
 
     def _asr_step(self):
@@ -727,6 +789,10 @@ class StreamEngine:
         interpreter teardown, which the TPU runtime's C++ layer can turn
         into an abort ('terminate called ...') after the process's real
         work already finished."""
+        if self._vd_thread is not None:
+            self._vd_queue.put(None)
+            self._vd_thread.join(timeout)
+            self._vd_thread = None
         if self._p1_thread is not None:
             self._p1_queue.put(None)
             self._p1_thread.join(timeout)

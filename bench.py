@@ -101,7 +101,8 @@ def bench_engine(args):
         vad_cfg=VadConfig(),
     )
     s = args.streams
-    eng = StreamEngine(models, capacity=s, pass2_async=args.pass2_async)
+    eng = StreamEngine(models, capacity=s, pass2_async=args.pass2_async,
+                       vad_async=args.vad_async)
     eng.warmup()
     sids = [eng.open() for _ in range(s)]
     rng = np.random.default_rng(0)
@@ -189,6 +190,7 @@ def bench_engine(args):
         "p1_tick_p95_ms": round(float(np.percentile(tick_ms, 95)), 1),
         "capacity": s,
         "pass2_async": bool(args.pass2_async),
+        "vad_async": bool(args.vad_async),
         "adversarial": bool(args.adversarial),
         "wav_replay": bool(args.wav_dir),
     }
@@ -301,6 +303,10 @@ def main():
                     help="weight-only int8 (w8a16): int8 weights in HBM, "
                          "bf16 activations/MXU")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--vad-async", action="store_true", default=True,
+                    help="VAD posterior fetch + automaton on the async "
+                         "decide lane (the serving default)")
+    ap.add_argument("--vad-sync", dest="vad_async", action="store_false")
     ap.add_argument("--pass2-async", action="store_true", default=True,
                     help="pass-2 on the background lane (serving default)")
     ap.add_argument("--pass2-sync", dest="pass2_async",

@@ -26,6 +26,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=128)
     ap.add_argument("--ticks", type=int, default=24)
+    ap.add_argument("--vad-async", action="store_true", default=True)
+    ap.add_argument("--vad-sync", dest="vad_async",
+                    action="store_false")
     args = ap.parse_args()
 
     cache_dir = os.path.join(os.path.dirname(os.path.dirname(
@@ -56,7 +59,8 @@ def main():
         vad_cfg=VadConfig(),
     )
     s = args.streams
-    eng = StreamEngine(models, capacity=s, pass2_async=True)
+    eng = StreamEngine(models, capacity=s, pass2_async=True,
+                       vad_async=args.vad_async)
     eng.warmup()
     sids = [eng.open() for _ in range(s)]
     rng = np.random.default_rng(0)

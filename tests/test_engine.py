@@ -464,3 +464,41 @@ def test_engine_back_to_back_finals_one_tick(models):
 
     assert text(got, "2pass-online") == (text(r1, "2pass-online")
                                          + text(r2, "2pass-online"))
+
+
+def test_engine_vad_async_lane_matches_sync(models):
+    """vad_async: the posterior fetch + automaton + splitter run on the
+    decide lane; results and drained() converge to the sync engine's
+    output (the serving default — the tick never blocks on a device
+    sync)."""
+    import time
+
+    wave = _wave(31, seconds=2.0)
+    sync_eng = StreamEngine(models, capacity=2)
+    s = sync_eng.open()
+    ref = _drive(sync_eng, s, wave)
+
+    eng = StreamEngine(models, capacity=2, pass2_async=True,
+                       vad_async=True)
+    try:
+        sid = eng.open()
+        out = []
+        step = int(16000 * 0.6)
+        for off in range(0, len(wave), step):
+            eng.feed(sid, wave[off: off + step],
+                     is_final=off + step >= len(wave))
+            eng.step()
+            out.extend(eng.poll(sid))
+        deadline = time.time() + 60
+        while not eng.drained(sid) and time.time() < deadline:
+            eng.step()
+            out.extend(eng.poll(sid))
+            time.sleep(0.01)
+        out.extend(eng.poll(sid))
+        assert eng.drained(sid)
+        assert eng.slots[sid].vd_inflight == 0
+        assert _texts(out, "2pass-online") == _texts(ref, "2pass-online")
+        assert _texts(out, "2pass-offline") == _texts(ref, "2pass-offline")
+        assert _texts(out, "2pass-offline")
+    finally:
+        eng.shutdown()
