@@ -49,6 +49,18 @@ def load_pcm_bytes(data: bytes) -> np.ndarray:
     return np.frombuffer(data[:n], dtype="<i2").astype(np.float32) / 32768.0
 
 
+def quantize_pcm(x) -> np.ndarray:
+    """Snap a float waveform to the 16-bit PCM grid (k/32768).
+
+    Real serving input IS s16le PCM, for which this is a bit-exact no-op;
+    synthetic/resampled floats quantize once at the feed boundary so the
+    engine can stage uploads as int16 (HALF the host->device bytes — the
+    tick is upload-bandwidth-bound on tunnel backends) while staying
+    bit-identical to the float reference paths."""
+    x = np.asarray(x, np.float32)
+    return np.clip(np.round(x * 32768.0), -32768, 32767) / np.float32(32768.0)
+
+
 def ffmpeg_decode(path_or_bytes, fs: int = 16000) -> np.ndarray:
     """Any-format decode via the ffmpeg CLI to mono s16 at `fs`
     (equivalent of audio.cpp:286-446 FfmpegLoad)."""

@@ -53,6 +53,14 @@ def _vad_bucket(fcfg) -> int:
     return 64 * fcfg.lfr_n + 8
 
 
+# device-resident per-slot audio ring (samples; int16): written ONCE by
+# the fused VAD step from its staged upload, read by the fused pass-1
+# step — raw audio crosses the tunnel exactly once per tick. 2^17
+# samples = 8.2 s per slot; pass-1 lags the ring writer by at most the
+# decide lane + splitter retention (~2-3 s), so 8 s is ample margin.
+_RING_SAMPLES = 1 << 17
+
+
 @functools.lru_cache(maxsize=4)
 def _fused_vad_step(fcfg, capacity: int, sil_pdf_ids=(0,)):
     """One jitted program: batched fbank -> LFR window gather -> CMVN ->
@@ -76,12 +84,19 @@ def _fused_vad_step(fcfg, capacity: int, sil_pdf_ids=(0,)):
     frame_idx = (np.arange(nf)[:, None] * fcfg.frame_shift
                  + np.arange(fcfg.frame_length)[None, :])
 
+    max_new = 64 * fcfg.lfr_n * fcfg.frame_shift  # staging cap (samples)
+
     @jax.jit
     def step(params, means, vars_, waves, n_new, win_start, total_new,
-             k_emit, finals, hist, caches):
-        frames = waves[:, frame_idx]                        # [C, nf, flen]
+             k_emit, finals, hist, caches, ring, ring_off, buf_start,
+             n_samp):
+        # waves arrive as int16 (PCM-grid; HALF the upload bytes of f32 —
+        # the tick is host->device-bandwidth-bound on tunnel backends);
+        # int16 value k == float sample k/32768 * scale_input exactly
+        frames = waves[:, frame_idx].astype(jnp.float32)    # [C, nf, flen]
         mel_new = ex.frames_to_mel(
-            (frames * fcfg.scale_input).reshape(capacity * nf, -1)
+            (frames * (fcfg.scale_input / 32768.0)
+             ).reshape(capacity * nf, -1)
         ).reshape(capacity, nf, -1)
         combined = jnp.concatenate([hist, mel_new], axis=1)  # [C, H+nf, M]
         base = total_new - n_new                             # old mel total
@@ -106,7 +121,29 @@ def _fused_vad_step(fcfg, capacity: int, sil_pdf_ids=(0,)):
         hidx = n_new[:, None] + jnp.arange(hist_len)[None, :]
         new_hist = jnp.take_along_axis(combined, hidx[:, :, None], axis=1)
         new_hist = jnp.where(finals[:, None, None], 0.0, new_hist)
-        return sil, new_hist, new_caches
+        # write this tick's NEW samples (the tail of the staged buf) into
+        # the per-slot device audio ring the pass-1 step reads — the ONE
+        # audio upload serves both passes. Structured vmapped
+        # dynamic_update_slice (an arbitrary-index scatter on the
+        # [C, 2^17] ring measured ~100 ms; this form is ~1-5 ms). The
+        # host caps staging so a write never straddles the ring end;
+        # start2/shift realign when the fixed-length window would.
+        shift = ring_off - jnp.minimum(ring_off,
+                                       _RING_SAMPLES - max_new)
+        start2 = ring_off - shift
+        j = jnp.arange(max_new)[None, :]
+        src = jnp.clip(buf_start[:, None] + j - shift[:, None],
+                       0, need - 1)
+        vals = jnp.take_along_axis(waves, src, axis=1)
+        keep = (j >= shift[:, None]) & (j < (shift + n_samp)[:, None])
+        old = jax.vmap(
+            lambda r, s: jax.lax.dynamic_slice(r, (s,), (max_new,))
+        )(ring, start2)
+        upd = jnp.where(keep, vals, old)
+        new_ring = jax.vmap(
+            lambda r, u, s: jax.lax.dynamic_update_slice(r, u, (s,))
+        )(ring, upd, start2)
+        return sil, new_hist, new_caches, new_ring
 
     return step, need
 
@@ -152,12 +189,23 @@ def _fused_p1_step(ocfg, capacity: int):
                  + np.arange(fcfg.frame_length)[None, :])
 
     @jax.jit
-    def step(params, means, vars_, state, waves, n_new, win_start,
-             total_new, k_emit, fe_finals, ring_woff, consume_start,
-             consume_count, finals, mel_hist, ring):
-        frames = waves[:, frame_idx]                       # [C, nf, flen]
+    def step(params, means, vars_, state, audio_ring, start_off, n_new,
+             win_start, total_new, k_emit, fe_finals, ring_woff,
+             consume_start, consume_count, finals, mel_hist, ring):
+        # window slice straight from the device audio ring the VAD step
+        # wrote (start_off = per-slot absolute cursor % ring) — pass-1
+        # uploads NOTHING: the tick's one audio upload serves both
+        # passes. Vmapped dynamic_slice over a head-duplicated ring
+        # handles wrap and stays structured (an arbitrary-index gather
+        # on the [C, 2^17] ring measured ~100 ms; this is ~1-5 ms).
+        ext = jnp.concatenate([audio_ring, audio_ring[:, :need]], axis=1)
+        win = jax.vmap(
+            lambda r, s: jax.lax.dynamic_slice(r, (s,), (need,))
+        )(ext, start_off)
+        frames = win[:, frame_idx].astype(jnp.float32)      # [C, nf, flen]
         mel_new = ex.frames_to_mel(
-            (frames * fcfg.scale_input).reshape(capacity * nf, -1)
+            (frames * (fcfg.scale_input / 32768.0)
+             ).reshape(capacity * nf, -1)
         ).reshape(capacity, nf, -1)
         combined = jnp.concatenate([mel_hist, mel_new], axis=1)
         base = total_new - n_new                           # old mel total
@@ -228,10 +276,13 @@ class _Slot:
                                        # fetched pass-1 batch (pipelining)
     vd_inflight: int = 0               # VAD posterior batches dispatched
                                        # but not yet decided (async lane)
+    vd_abs: int = 0                    # decide-side absolute sample count
+    splitter_base: int = 0             # abs sample of the splitter epoch
     # fused pass-1 front-end host mirrors (exact StreamingFrontend
-    # accounting; the mel itself stays device-resident)
-    p1_groups: list = field(default_factory=list)   # queued (samples, fin)
-    p1_residual: Any = None            # np samples not yet framed
+    # accounting; the audio AND the mel stay device-resident)
+    p1_groups: list = field(default_factory=list)  # (abs_start, n, final)
+    p1_residual: int = 0               # samples staged but not yet framed
+    p1_cursor: int = 0                 # absolute index of next unframed sample
     p1_total: int = 0                  # mel frames produced this utterance
     p1_win: int = 0                    # next LFR window index
     p1_ring_w: int = 0                 # pending-ring windows written (monotonic)
@@ -242,7 +293,7 @@ class _Slot:
 class StreamEngine:
     def __init__(self, models, capacity: int = 64, mode: str = "2pass",
                  pass2_async: bool = False, pipeline: bool = True,
-                 vad_async: bool = False):
+                 vad_async: bool = False, fused_fetch: bool = False):
         self.models = models
         self.capacity = capacity
         self.mode = mode
@@ -291,6 +342,10 @@ class StreamEngine:
             (capacity, self._p1_hist_n, afc.n_mels), jnp.float32)
         self._p1_ring = jnp.zeros(
             (capacity, self._p1_ring_n, afc.lfr_dim), jnp.float32)
+        # device audio ring: written once per tick by the fused VAD step,
+        # read by the fused pass-1 step (one upload serves both passes)
+        self._audio_ring = jnp.zeros((capacity, _RING_SAMPLES), jnp.int16)
+        self._abs_fed = np.zeros(capacity, np.int64)
         # pass-1 / pass-2 priority lanes (SURVEY §7 "latency vs batching
         # tension"): with pass2_async the tick never runs offline decodes —
         # segments go to a background worker thread, so a burst of long
@@ -311,6 +366,18 @@ class StreamEngine:
         # tick collected its own previous batch (scripts/tick_breakdown.py).
         # A single FIFO worker preserves per-slot result order; per-slot
         # p1_inflight counters keep drained() honest.
+        # fused-fetch tick (the serving default via ws_server/bench): ONE
+        # combined device_get per tick for VAD posteriors + pass-1 ids.
+        # On the tunnel backend every fetch costs a full round-trip and
+        # concurrent fetches from separate threads serialize (measured
+        # ~100-190 ms each under load); dispatch-VAD + dispatch-P1 + one
+        # combined fetch measures ~39 ms/tick at capacity 128 vs ~295 ms
+        # for the threaded-collector tick. P1 stages the PREVIOUS fetch's
+        # decisions (one loop-iteration of added latency, not a chunk).
+        self._fused_fetch = fused_fetch
+        if fused_fetch:
+            pipeline = False
+            vad_async = False
         self._pipeline = pipeline
         self._p1_queue: "queue.Queue" = queue.Queue()
         self._p1_outstanding = 0
@@ -329,6 +396,12 @@ class StreamEngine:
         self._vad_async = vad_async
         self._vd_queue: "queue.Queue" = queue.Queue()
         self._vd_outstanding = 0
+        # publishes one VAD batch's decisions (p1 groups + segments for
+        # ALL slots) atomically wrt the tick's staging scan — without it
+        # the tick catches half-published batches and fragments the
+        # pass-1 device step into many small dispatches (measured 70
+        # dispatches instead of 8 for the same audio, 4x wall)
+        self._stage_lock = threading.Lock()
         self._vd_thread = None
         if vad_async:
             self._vd_thread = threading.Thread(
@@ -337,21 +410,50 @@ class StreamEngine:
 
     def warmup(self):
         """Compile the batched VAD + ASR steps before serving traffic
-        (first-compile is minutes on remote-compile TPU backends)."""
+        (first-compile is minutes on remote-compile TPU backends), and
+        prime each async lane's FIRST device fetch — on the tunnel
+        backend a thread's first transfer pays a one-time session setup
+        (measured 12 s; subsequent fetches are milliseconds), which must
+        not land on live traffic."""
         m = self.models
         zi = jnp.zeros((self.capacity,), jnp.int32)
-        self._vad_step(m.vad_params, self._vad_means, self._vad_vars,
-                       jnp.zeros((self.capacity, self._vad_need),
-                                 jnp.float32),
-                       zi, zi, zi, zi,
-                       jnp.zeros((self.capacity,), bool),
-                       self._vad_hist, self.vad_caches)
+        probs, _, _, _ = self._vad_step(
+            m.vad_params, self._vad_means, self._vad_vars,
+            jnp.zeros((self.capacity, self._vad_need), jnp.int16),
+            zi, zi, zi, zi,
+            jnp.zeros((self.capacity,), bool),
+            self._vad_hist, self.vad_caches,
+            self._audio_ring, zi, zi, zi)
         zb = jnp.zeros((self.capacity,), bool)
-        self._p1_step(self.oparams, self._asr_means, self._asr_vars,
-                      self.online_state,
-                      jnp.zeros((self.capacity, self._p1_need), jnp.float32),
-                      zi, zi, zi, zi, zb, zi, zi, zi, zb,
-                      self._p1_hist, self._p1_ring)
+        _, ids, nums, _, _ = self._p1_step(
+            self.oparams, self._asr_means, self._asr_vars,
+            self.online_state, self._audio_ring, zi,
+            zi, zi, zi, zi, zb, zi, zi, zi, zb,
+            self._p1_hist, self._p1_ring)
+        if self._vad_async:
+            with self._results_lock:
+                self._vd_outstanding += 1
+            self._vd_queue.put((probs, []))          # fetch, no slots
+        if self._pipeline:
+            with self._results_lock:
+                self._p1_outstanding += 1
+            self._p1_queue.put(([], np.zeros(self.capacity, bool),
+                                ids, nums))
+        dummy = None
+        if self._p2_thread is not None and self.offline is not None:
+            # prime the pass-2 lane's first fetch + the smallest offline
+            # bucket compile off the serving path
+            from asr2pass_tpu.runtime.audio_splitter import AudioFrame
+
+            dummy = _Slot()
+            dummy.p2_inflight = 1
+            self._p2_queue.put((-1, dummy, AudioFrame(
+                data=np.zeros(3200, np.float32), is_final=True)))
+        deadline = time.time() + 600
+        while ((self._vd_outstanding > 0 or self._p1_outstanding > 0
+                or (dummy is not None and dummy.p2_inflight > 0))
+               and time.time() < deadline):
+            time.sleep(0.01)
 
     # -- stream lifecycle ------------------------------------------------
     def open(self, hw_emb=None, hotwords=None, use_itn: bool = True,
@@ -400,7 +502,6 @@ class StreamEngine:
             splitter=TwoPassSplitter(m.vad_cfg.sample_rate),
             vocab=Vocab(m.vocab.tokens, m.vocab.lang),
             punc_cache=[],
-            p1_residual=np.zeros(0, np.float32),
         )
         self.slots[sid] = slot
         # zero the batched device state for this slot
@@ -420,7 +521,10 @@ class StreamEngine:
         self._vad_hist = self._vad_hist.at[sid].set(0.0)
         self._vad_total[sid] = 0
         self._vad_next[sid] = 0
+        self._abs_fed[sid] = 0
         self._p1_hist = self._p1_hist.at[sid].set(0.0)
+        # audio-ring contents are gated by the slot's (reset) absolute
+        # counters — stale samples are never gathered
         # pending-ring contents are gated by the slot's (reset) host
         # counters — stale rows are never gathered
 
@@ -428,8 +532,11 @@ class StreamEngine:
         self.slots[sid].active = False
 
     def feed(self, sid: int, samples: np.ndarray, is_final: bool = False):
-        self.slots[sid].audio_in.append(
-            (np.asarray(samples, np.float32), is_final))
+        from asr2pass_tpu.frontend.audio import quantize_pcm
+
+        # PCM-grid quantization at the boundary (a no-op for real s16le
+        # input) lets both fused steps stage int16 uploads bit-exactly
+        self.slots[sid].audio_in.append((quantize_pcm(samples), is_final))
 
     def poll(self, sid: int) -> List[dict]:
         with self._results_lock:
@@ -464,6 +571,8 @@ class StreamEngine:
         """
         from asr2pass_tpu.runtime.metrics import GLOBAL as METRICS
 
+        if self._fused_fetch:
+            return self._step_fused()
         with METRICS.stage("tick_vad_dispatch"):
             ctx = self._vad_stage_dispatch()
         if self._vad_async:
@@ -478,6 +587,37 @@ class StreamEngine:
                 self._vad_decide(ctx)
         with METRICS.stage("tick_p1_dispatch"):
             self._asr_step()
+        with METRICS.stage("tick_pass2_handoff"):
+            self._pass2()
+
+    def _step_fused(self):
+        """Single-fetch tick: dispatch VAD_N, dispatch P1_N (staged from
+        tick N-1's decisions), then ONE device_get for everything the
+        host needs; decisions and detok run after the fetch. See the
+        constructor note for the round-trip economics."""
+        from asr2pass_tpu.runtime.metrics import GLOBAL as METRICS
+
+        with METRICS.stage("tick_vad_dispatch"):
+            ctx = self._vad_stage_dispatch()
+        with METRICS.stage("tick_p1_dispatch"):
+            batches = self._asr_step(defer=True)
+        handles = [] if ctx is None else [ctx[0]]
+        for b in batches:
+            handles.append(b[2])
+            handles.append(b[3])
+        with METRICS.stage("tick_fused_fetch"):
+            fetched = jax.device_get(tuple(handles)) if handles else ()
+        i = 0
+        if ctx is not None:
+            with METRICS.stage("tick_vad_decide"):
+                self._vad_decide((fetched[0], ctx[1]))
+            i = 1
+        with METRICS.stage("tick_p1_detok"):
+            for refs, finals, _, _ in batches:
+                self._finish_asr_batch(
+                    (refs, finals, fetched[i], fetched[i + 1]),
+                    inflight_counted=False)
+                i += 2
         with METRICS.stage("tick_pass2_handoff"):
             self._pass2()
 
@@ -511,9 +651,15 @@ class StreamEngine:
             if not slot.active or not slot.audio_in:
                 continue
             datas, total, is_final = [], 0, False
-            while slot.audio_in and total < max_samples:
+            # cap so the device ring write never straddles the ring end
+            # (the kernel uses fixed-length dynamic_update_slice);
+            # leftovers re-queue for the next tick
+            cap_samples = min(
+                max_samples,
+                _RING_SAMPLES - int(self._abs_fed[sid]) % _RING_SAMPLES)
+            while slot.audio_in and total < cap_samples:
                 s, f = slot.audio_in.pop(0)
-                take = min(len(s), max_samples - total)
+                take = min(len(s), cap_samples - total)
                 if take < len(s):
                     slot.audio_in.insert(0, (s[take:], f))
                     s, f = s[:take], False
@@ -529,16 +675,26 @@ class StreamEngine:
         fcfg = m.vad_cfg.frontend
         lfr_m, lfr_n = fcfg.lfr_m, fcfg.lfr_n
         left = (lfr_m - 1) // 2
-        waves = np.zeros((self.capacity, self._vad_need), np.float32)
+        waves = np.zeros((self.capacity, self._vad_need), np.int16)
         n_new = np.zeros(self.capacity, np.int32)
         win_start = self._vad_next.astype(np.int32)
         total_new = self._vad_total.astype(np.int32)
         k_emit = np.zeros(self.capacity, np.int32)
         finals = np.zeros(self.capacity, bool)
+        ring_off = np.zeros(self.capacity, np.int32)
+        buf_start = np.zeros(self.capacity, np.int32)
+        n_samp = np.zeros(self.capacity, np.int32)
         work = []  # (sid, slot, samples, is_final, n_vad_rows)
         for sid, samples, is_final, buf, nf in staged:
-            waves[sid, : min(len(buf), self._vad_need)] = \
-                buf[: self._vad_need]
+            # exact: buf is PCM-grid float (k/32768), so *32768 is integer
+            waves[sid, : min(len(buf), self._vad_need)] = (
+                buf[: self._vad_need] * 32768.0).astype(np.int16)
+            # ring-write coordinates: the NEW samples are the tail of the
+            # staged buf (the head is the frontend's framing residual)
+            ring_off[sid] = self._abs_fed[sid] % _RING_SAMPLES
+            buf_start[sid] = len(buf) - len(samples)
+            n_samp[sid] = len(samples)
+            self._abs_fed[sid] += len(samples)
             n_new[sid] = nf
             total = int(self._vad_total[sid]) + nf
             total_new[sid] = total
@@ -558,11 +714,14 @@ class StreamEngine:
                 self._vad_next[sid] = upto
             work.append((sid, self.slots[sid], samples, is_final,
                          int(k_emit[sid])))
-        probs, self._vad_hist, self.vad_caches = self._vad_step(
+        (probs, self._vad_hist, self.vad_caches,
+         self._audio_ring) = self._vad_step(
             m.vad_params, self._vad_means, self._vad_vars,
             jnp.asarray(waves), jnp.asarray(n_new), jnp.asarray(win_start),
             jnp.asarray(total_new), jnp.asarray(k_emit),
-            jnp.asarray(finals), self._vad_hist, self.vad_caches)
+            jnp.asarray(finals), self._vad_hist, self.vad_caches,
+            self._audio_ring, jnp.asarray(ring_off),
+            jnp.asarray(buf_start), jnp.asarray(n_samp))
         # async dispatch done; the posterior fetch happens in _vad_decide
         # after last tick's pass-1 results are collected
         return probs, work
@@ -602,6 +761,7 @@ class StreamEngine:
         # the online frames into per-slot groups split at final flags so
         # the ASR front-ends batch the same way
         _t_sm = time.perf_counter()
+        publishes = []
         for sid, slot, samples, is_final, n in work:
             if self.slots[sid] is not slot:
                 # connection replaced since dispatch: drop the decision
@@ -627,29 +787,53 @@ class StreamEngine:
             )
             online_frames, offline_frames = slot.splitter.feed(
                 samples, events, self.chunk_len, self.mode)
-            slot.seg_queue.extend(offline_frames)
-            gs, cur = [], []
+            # online speech as ABSOLUTE sample ranges into the device
+            # audio ring (nothing re-uploads): consecutive frames of one
+            # utterance are contiguous in the fed stream, so a group is
+            # (abs_start, n_samples, final). Frame positions are splitter
+            # -epoch-relative ms; align to the end (the splitter clamps
+            # only the front of early slices).
+            gs, cur_start, cur_n = [], None, 0
             for fr in online_frames:
-                cur.append(fr.data)
+                n = len(fr.data)
+                if cur_start is None:
+                    cur_start = (slot.splitter_base
+                                 + fr.global_end * 16 - n)
+                cur_n += n
                 if fr.is_final:
-                    gs.append((np.concatenate(cur), True))
-                    cur = []
-            if cur:
-                gs.append((np.concatenate(cur), False))
-            # route the speech audio to the fused pass-1 lane — the ASR
-            # front-end (fbank+LFR+CMVN) runs INSIDE the pass-1 device
-            # step, so nothing but raw samples leaves the host here
-            slot.p1_groups.extend(gs)
+                    gs.append((cur_start, cur_n, True))
+                    cur_start, cur_n = None, 0
+            if cur_n:
+                gs.append((cur_start, cur_n, False))
+            slot.vd_abs += len(samples)
+            publishes.append((slot, gs, offline_frames))
             if is_final:
                 slot.splitter.reset()
-            if counted:
-                with self._results_lock:
+                slot.splitter_base = slot.vd_abs
+        # route the speech audio to the fused pass-1 lane — the ASR
+        # front-end (fbank+LFR+CMVN) runs INSIDE the pass-1 device step,
+        # so nothing but raw samples leaves the host here. The whole
+        # batch publishes ATOMICALLY wrt the tick's staging scan, so a
+        # concurrent _asr_step stages all-or-none of this batch and the
+        # pass-1 device step stays one full dispatch per chunk cadence.
+        with self._stage_lock:
+            for slot, gs, offline_frames in publishes:
+                slot.seg_queue.extend(offline_frames)
+                slot.p1_groups.extend(gs)
+        if counted:
+            with self._results_lock:
+                for slot, _, _ in publishes:
                     slot.vd_inflight -= 1
         METRICS.stages["vd_automaton"].add(time.perf_counter() - _t_sm)
 
-    def _asr_step(self):
+    def _asr_step(self, defer: bool = False):
+        """Stage + dispatch pass-1 rounds. With defer=True (fused-fetch
+        tick) the dispatched batches are returned with their device
+        handles instead of being fetched here or handed to the
+        collector."""
+        deferred = []
         if self.mode == "offline":
-            return
+            return deferred
         c = self.center
         cap = self.capacity
         fcfg = self.ocfg.frontend
@@ -661,7 +845,7 @@ class StreamEngine:
         # so k_emit stays within the program's k_max window budget
         max_stage = (self._p1_kmax - 2) * lfr_n * shift
         for _round in range(8):
-            waves = np.zeros((cap, self._p1_need), np.float32)
+            start_off = np.zeros(cap, np.int32)
             n_new = np.zeros(cap, np.int32)
             win_start = np.zeros(cap, np.int32)
             total_new = np.zeros(cap, np.int32)
@@ -673,7 +857,13 @@ class StreamEngine:
             finals = np.zeros(cap, bool)
             todo = []
             more = False
-            for sid, slot in enumerate(self.slots):
+            # staging scan under the publish lock: a mid-publish VAD
+            # batch is invisible, so each pass-1 dispatch carries a FULL
+            # batch of chunks instead of fragments (measured: without the
+            # barrier the same audio fragmented into 70 small dispatches
+            # instead of 8 full ones, 4x wall — see _vad_decide's publish)
+            with self._stage_lock:
+              for sid, slot in enumerate(self.slots):
                 if not slot.active:
                     continue
                 # ---- stage new speech samples (up to one utterance
@@ -681,22 +871,34 @@ class StreamEngine:
                 # the ring, staging pauses so the flush boundary
                 # (p1_flush_at) is unambiguous — resumes next round
                 if slot.p1_groups and slot.p1_flush_at is None:
-                    datas, total, fe_fin = [], 0, False
+                    total, fe_fin = 0, False
                     while (slot.p1_groups and total < max_stage
                            and not fe_fin):
-                        s, f = slot.p1_groups.pop(0)
-                        take = min(len(s), max_stage - total)
-                        if take < len(s):
-                            slot.p1_groups.insert(0, (s[take:], f))
-                            s, f = s[:take], False
-                        datas.append(s)
-                        total += len(s)
+                        g_start, g_n, f = slot.p1_groups.pop(0)
+                        take = min(g_n, max_stage - total)
+                        if take < g_n:
+                            slot.p1_groups.insert(
+                                0, (g_start + take, g_n - take, f))
+                            g_n, f = take, False
+                        if slot.p1_residual == 0 and total == 0:
+                            # fresh utterance (or stream start): the
+                            # staged range begins at this group
+                            slot.p1_cursor = g_start
+                        total += g_n
                         fe_fin = fe_fin or f
-                    buf = np.concatenate([slot.p1_residual] + datas)
-                    n = ((len(buf) - flen) // shift + 1
-                         if len(buf) >= flen else 0)
-                    slot.p1_residual = buf[n * shift:] if n else buf
-                    waves[sid, : len(buf)] = buf[: self._p1_need]
+                    lbuf = slot.p1_residual + total
+                    # ring-age guard: the device audio ring must still
+                    # hold the oldest staged sample
+                    if (self._abs_fed[sid] - slot.p1_cursor
+                            > _RING_SAMPLES - self._p1_need):
+                        raise RuntimeError(
+                            f"pass-1 backlog for slot {sid} exceeds the "
+                            f"device audio ring ({_RING_SAMPLES} samples)")
+                    n = ((lbuf - flen) // shift + 1
+                         if lbuf >= flen else 0)
+                    start_off[sid] = slot.p1_cursor % _RING_SAMPLES
+                    slot.p1_cursor += n * shift
+                    slot.p1_residual = 0 if fe_fin else lbuf - n * shift
                     n_new[sid] = n
                     tot = slot.p1_total + n
                     win_start[sid] = slot.p1_win
@@ -724,7 +926,6 @@ class StreamEngine:
                         fe_finals[sid] = True
                         slot.p1_total = 0
                         slot.p1_win = 0
-                        slot.p1_residual = np.zeros(0, np.float32)
                         slot.p1_flush_at = slot.p1_ring_w
                     else:
                         slot.p1_total = tot
@@ -757,11 +958,12 @@ class StreamEngine:
                         or slot.p1_ring_w - slot.p1_ring_r >= c):
                     more = True
             if not todo and not n_new.any():
-                return
+                return deferred
             (self.online_state, ids, nums, self._p1_hist,
              self._p1_ring) = self._p1_step(
                 self.oparams, self._asr_means, self._asr_vars,
-                self.online_state, jnp.asarray(waves), jnp.asarray(n_new),
+                self.online_state, self._audio_ring,
+                jnp.asarray(start_off), jnp.asarray(n_new),
                 jnp.asarray(win_start), jnp.asarray(total_new),
                 jnp.asarray(k_emit), jnp.asarray(fe_finals),
                 jnp.asarray(ring_woff), jnp.asarray(consume_start),
@@ -770,7 +972,9 @@ class StreamEngine:
             if todo:
                 batch = ([(sid, self.slots[sid]) for sid in todo],
                          finals, ids, nums)
-                if self._pipeline:
+                if defer:
+                    deferred.append(batch)
+                elif self._pipeline:
                     # hand the in-flight batch to the collector thread: its
                     # device round-trip + detok never block the tick
                     with self._results_lock:
@@ -781,7 +985,8 @@ class StreamEngine:
                 else:
                     self._finish_asr_batch(batch, inflight_counted=False)
             if not more:
-                return
+                return deferred
+        return deferred
 
     def shutdown(self, timeout: float = 10.0):
         """Drain and join the background lanes. Without this, daemon
@@ -880,8 +1085,11 @@ class StreamEngine:
             if first is None:
                 return
             pairs = [first]
-            # greedy drain up to one device batch worth
-            while len(pairs) < 16:
+            # greedy drain a whole tick's worth: recognize_batch buckets
+            # internally (chunks of <=16) and fetches ONCE for all of
+            # them, so a bigger drain = fewer tunnel round-trips, not
+            # bigger device programs
+            while len(pairs) < max(self.capacity, 16):
                 try:
                     nxt = self._p2_queue.get_nowait()
                 except queue.Empty:
@@ -922,6 +1130,12 @@ class StreamEngine:
                 kw["hw_embs"] = [s.hw_emb for s in slots]
             if any(s.lm_decoder is not None for s in slots):
                 kw["lm_decoders"] = [s.lm_decoder for s in slots]
+            # recognize_batch itself is single-fetch now (dispatch_batch
+            # queues every bucket chunk, ONE device_get for all outputs)
+            # — routing that fetch through the tick's combined fetch was
+            # tried and measured WORSE (159 vs 225 streams): the tick
+            # then waits on pass-2 forward compute, and the lane stalls
+            # on the tick instead of pipelining its next batch
             outs = self.offline.asr.recognize_batch(segs, **kw)
         for (text, merged), (sid, slot, fr) in zip(outs, pairs):
             stamps = ts_mod.stamps_to_ms(merged, fr.global_start / 1000.0)

@@ -141,6 +141,23 @@ class ParaformerOffline:
           lm_decoders[i]: per-segment LM beam decoder (per-connection WFST
           handle role); falls back to self.lm_decoder.
         """
+        import jax
+
+        pending, handles = self.dispatch_batch(
+            segments, hw_emb=hw_emb, hw_embs=hw_embs,
+            lm_decoders=lm_decoders)
+        fetched = jax.device_get(tuple(handles)) if handles else ()
+        return self.finish_batch(pending, fetched)
+
+    def dispatch_batch(self, segments: List[np.ndarray],
+                       hw_emb: Optional[np.ndarray] = None,
+                       hw_embs: Optional[List] = None,
+                       lm_decoders: Optional[List] = None):
+        """Phase A of recognize_batch: front-end + device DISPATCH only.
+        Returns (pending, handles) — `handles` is a flat list of device
+        arrays whose values finish_batch() needs; callers that own a
+        combined per-tick fetch (the engine's fused tick) batch them with
+        every other fetch so the tunnel round-trip is paid ONCE."""
         means, vars_ = self.cmvn
         feats = offline_frontend_batch(segments, self.cfg.frontend,
                                        means, vars_)
@@ -152,7 +169,8 @@ class ParaformerOffline:
                 return lm_decoders[i]
             return self.lm_decoder
 
-        results: List[Optional[Tuple[str, List[List[float]]]]] = [None] * len(feats)
+        results: List[Optional[Tuple[str, List[List[float]]]]] = \
+            [None] * len(feats)
         # group indices by (feature bucket, hotword batching key); segments
         # past the SP threshold take the sequence-parallel path solo
         groups = {}
@@ -175,6 +193,8 @@ class ParaformerOffline:
             out = self._forward_sp(feats[i], feats[i].shape[0])
             results[i] = self._postprocess_one(
                 out, 0, feats[i].shape[0], lm_for(i))
+        records = []
+        handles: list = []
         for bucket, hw_key, idxs in chunks:
             bb = _batch_bucket(len(idxs))
             batch = np.zeros((bb, bucket, self.cfg.frontend.lfr_dim),
@@ -195,18 +215,40 @@ class ParaformerOffline:
                     hw_lens[k] = hw.shape[0]
             out = self._forward(batch, lens, hw_batch, hw_lens)
             ids, counts = paraformer.greedy_ids(out)
-            ids = np.asarray(ids)
-            counts = np.asarray(counts)
             any_lm = any(lm_for(i) is not None for i in idxs)
-            logits_np = None
+            hlist = [ids, counts]
             if any_lm:
-                logits_np = np.asarray(out.logits, np.float32)
+                hlist.append(out.logits)
+            if self.cfg.predictor.use_timestamp:
+                # one transfer per chunk; slicing device arrays per
+                # segment costs a round-trip each
+                hlist.append(out.us_alphas)
+                hlist.append(out.us_cif_peak)
+            records.append({"idxs": idxs, "lens": lens, "any_lm": any_lm,
+                            "off": len(handles), "n": len(hlist)})
+            handles.extend(hlist)
+        pending = {"records": records, "results": results,
+                   "lm_for": lm_for}
+        return pending, handles
+
+    def finish_batch(self, pending, fetched
+                     ) -> List[Tuple[str, List[List[float]]]]:
+        """Phase B: host post-processing over the FETCHED (numpy) arrays
+        of dispatch_batch's handles — greedy/LM decode, timestamps."""
+        results = pending["results"]
+        lm_for = pending["lm_for"]
+        for rec in pending["records"]:
+            idxs, lens = rec["idxs"], rec["lens"]
+            vals = list(fetched[rec["off"]: rec["off"] + rec["n"]])
+            ids = np.asarray(vals.pop(0))
+            counts = np.asarray(vals.pop(0))
+            logits_np = None
+            if rec["any_lm"]:
+                logits_np = np.asarray(vals.pop(0), np.float32)
             us_a_np = us_p_np = None
             if self.cfg.predictor.use_timestamp:
-                # transfer once per chunk; slicing device arrays per
-                # segment costs a round-trip each
-                us_a_np = np.asarray(out.us_alphas)
-                us_p_np = np.asarray(out.us_cif_peak)
+                us_a_np = np.asarray(vals.pop(0))
+                us_p_np = np.asarray(vals.pop(0))
             for k, i in enumerate(idxs):
                 n = int(counts[k])
                 tok_ids = [int(x) for x in ids[k, :n]]

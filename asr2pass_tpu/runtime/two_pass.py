@@ -100,7 +100,9 @@ class TwoPassSession:
     def feed(self, samples: np.ndarray, is_final: bool = False
              ) -> TwoPassResult:
         """Feed PCM samples (float32 [-1,1]); returns this step's results."""
-        samples = np.asarray(samples, np.float32)
+        from asr2pass_tpu.frontend.audio import quantize_pcm
+
+        samples = quantize_pcm(samples)
         res = TwoPassResult(snippet_time=len(samples) / self.splitter.sr)
         events = self.vad.accept(samples, is_final)
         online_frames, offline_frames = self.splitter.feed(

@@ -428,7 +428,7 @@ class AsrWsServer:
 
             self.engine = StreamEngine(self.models,
                                        capacity=self.engine_capacity,
-                                       pass2_async=True, vad_async=True)
+                                       pass2_async=True, fused_fetch=True)
             await asyncio.get_running_loop().run_in_executor(
                 self.executor, self.engine.warmup)
             self._engine_lock = asyncio.Lock()

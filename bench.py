@@ -102,7 +102,8 @@ def bench_engine(args):
     )
     s = args.streams
     eng = StreamEngine(models, capacity=s, pass2_async=args.pass2_async,
-                       vad_async=args.vad_async)
+                       vad_async=args.vad_async,
+                       fused_fetch=args.fused_fetch)
     eng.warmup()
     sids = [eng.open() for _ in range(s)]
     rng = np.random.default_rng(0)
@@ -191,6 +192,7 @@ def bench_engine(args):
         "capacity": s,
         "pass2_async": bool(args.pass2_async),
         "vad_async": bool(args.vad_async),
+        "fused_fetch": bool(args.fused_fetch),
         "adversarial": bool(args.adversarial),
         "wav_replay": bool(args.wav_dir),
     }
@@ -273,6 +275,10 @@ def bench_all(args):
     run("latency_p50", bench_latency)
     run("engine_default", bench_engine)
     run("engine_adversarial", bench_engine, adversarial=True)
+    # capacity sweep: where is the knee? (VERDICT r3 item 4/6)
+    for cap in (64, 256):
+        if cap != args.streams:
+            run(f"engine_cap{cap}", bench_engine, streams=cap)
     ref_wavs = "/root/reference/clients/audio"
     if os.path.isdir(ref_wavs):
         run("engine_real_wavs", bench_engine, wav_dir=ref_wavs)
@@ -292,7 +298,7 @@ def main():
     ap.add_argument("--bench-out", default="bench_results.jsonl",
                     help="--mode all: append one JSON line per mode here")
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--streams", type=int, default=64)
+    ap.add_argument("--streams", type=int, default=128)  # = serving default capacity (ws_server)
     ap.add_argument("--seconds", type=float, default=60.0,
                     help="audio seconds per segment")
     ap.add_argument("--iters", type=int, default=8)
@@ -303,7 +309,12 @@ def main():
                     help="weight-only int8 (w8a16): int8 weights in HBM, "
                          "bf16 activations/MXU")
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--vad-async", action="store_true", default=True,
+    ap.add_argument("--fused-fetch", action="store_true", default=True,
+                    help="single combined device fetch per tick (the "
+                         "serving default; overrides the threaded lanes)")
+    ap.add_argument("--no-fused-fetch", dest="fused_fetch",
+                    action="store_false")
+    ap.add_argument("--vad-async", action="store_true", default=False,
                     help="VAD posterior fetch + automaton on the async "
                          "decide lane (the serving default)")
     ap.add_argument("--vad-sync", dest="vad_async", action="store_false")

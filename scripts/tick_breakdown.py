@@ -26,7 +26,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=128)
     ap.add_argument("--ticks", type=int, default=24)
-    ap.add_argument("--vad-async", action="store_true", default=True)
+    ap.add_argument("--fused-fetch", action="store_true", default=True)
+    ap.add_argument("--no-fused-fetch", dest="fused_fetch",
+                    action="store_false")
+    ap.add_argument("--vad-async", action="store_true", default=False)
     ap.add_argument("--vad-sync", dest="vad_async",
                     action="store_false")
     args = ap.parse_args()
@@ -60,7 +63,8 @@ def main():
     )
     s = args.streams
     eng = StreamEngine(models, capacity=s, pass2_async=True,
-                       vad_async=args.vad_async)
+                       vad_async=args.vad_async,
+                       fused_fetch=args.fused_fetch)
     eng.warmup()
     sids = [eng.open() for _ in range(s)]
     rng = np.random.default_rng(0)
@@ -87,6 +91,7 @@ def main():
           f"(budget 600; sustainable ~"
           f"{s * 600 / np.percentile(tick_ms, 50):.0f} streams)")
     for name in ("tick_vad_dispatch", "tick_p1_collect", "tick_vad_decide",
+                 "tick_fused_fetch", "tick_p1_detok",
                  "vd_probs_fetch", "vd_automaton",
                  "tick_p1_dispatch", "tick_pass2_handoff"):
         st = rep.get(name)

@@ -256,16 +256,23 @@ def test_fused_vad_step_matches_reference_frontend(models, lfr_m, lfr_n):
     vars_ = jnp.ones(fcfg.lfr_dim, jnp.float32)
 
     rng = np.random.default_rng(7)
-    wave = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    from asr2pass_tpu.frontend.audio import quantize_pcm
+
+    # PCM-grid wave: the fused step stages int16 (bit-exact on this grid)
+    wave = quantize_pcm(rng.standard_normal(16000 * 2) * 0.1)
 
     # reference path (one stream)
     ref_fe = StreamingFrontend(fcfg)
     ref_caches = fsmn_vad.init_caches(cfg, 1)
     ref_probs = []
     # fused path state (slot 0 active, slot 1 idle)
+    from asr2pass_tpu.runtime.engine import _RING_SAMPLES as RING
+
     fe = StreamingFrontend(fcfg)  # stage() only
     hist = jnp.zeros((capacity, fcfg.lfr_m - 1, fcfg.n_mels), jnp.float32)
     caches = fsmn_vad.init_caches(cfg, capacity)
+    audio_ring = jnp.zeros((capacity, RING), jnp.int16)
+    abs_fed = 0
     total = nxt = 0
     fused_probs = []
 
@@ -285,8 +292,8 @@ def test_fused_vad_step_matches_reference_frontend(models, lfr_m, lfr_n):
             ref_probs.append(np.asarray(p[0, :t]))
 
         buf, nf = fe.stage(piece)
-        waves = np.zeros((capacity, need), np.float32)
-        waves[0, :len(buf)] = buf
+        waves = np.zeros((capacity, need), np.int16)
+        waves[0, :len(buf)] = (buf * 32768.0).astype(np.int16)
         tot = total + nf
         if is_final:
             upto = -(-tot // fcfg.lfr_n)
@@ -296,14 +303,18 @@ def test_fused_vad_step_matches_reference_frontend(models, lfr_m, lfr_n):
                        // fcfg.lfr_n + 1, 0)
         upto = max(upto, nxt)
         k = upto - nxt
-        probs, hist, caches = step(
+        probs, hist, caches, audio_ring = step(
             params, means, vars_, jnp.asarray(waves),
             jnp.asarray([nf, 0], np.int32),
             jnp.asarray([nxt, 0], np.int32),
             jnp.asarray([tot, 0], np.int32),
             jnp.asarray([k, 0], np.int32),
             jnp.asarray([is_final, False]),
-            hist, caches)
+            hist, caches, audio_ring,
+            jnp.asarray([abs_fed % RING, 0], np.int32),
+            jnp.asarray([len(buf) - len(piece), 0], np.int32),
+            jnp.asarray([len(piece), 0], np.int32))
+        abs_fed += len(piece)
         if k:
             fused_probs.append(np.asarray(probs[0, :k]))
         total, nxt = (0, 0) if is_final else (tot, upto)
@@ -497,6 +508,42 @@ def test_engine_vad_async_lane_matches_sync(models):
         out.extend(eng.poll(sid))
         assert eng.drained(sid)
         assert eng.slots[sid].vd_inflight == 0
+        assert _texts(out, "2pass-online") == _texts(ref, "2pass-online")
+        assert _texts(out, "2pass-offline") == _texts(ref, "2pass-offline")
+        assert _texts(out, "2pass-offline")
+    finally:
+        eng.shutdown()
+
+
+def test_engine_fused_fetch_matches_sync(models):
+    """fused_fetch (the serving default): one combined device fetch per
+    tick, pass-1 staged one decision behind — results converge to the
+    sync engine's output."""
+    import time
+
+    wave = _wave(33, seconds=2.0)
+    sync_eng = StreamEngine(models, capacity=2)
+    s = sync_eng.open()
+    ref = _drive(sync_eng, s, wave)
+
+    eng = StreamEngine(models, capacity=2, pass2_async=True,
+                       fused_fetch=True)
+    try:
+        sid = eng.open()
+        out = []
+        step = int(16000 * 0.6)
+        for off in range(0, len(wave), step):
+            eng.feed(sid, wave[off: off + step],
+                     is_final=off + step >= len(wave))
+            eng.step()
+            out.extend(eng.poll(sid))
+        deadline = time.time() + 60
+        while not eng.drained(sid) and time.time() < deadline:
+            eng.step()
+            out.extend(eng.poll(sid))
+            time.sleep(0.01)
+        out.extend(eng.poll(sid))
+        assert eng.drained(sid)
         assert _texts(out, "2pass-online") == _texts(ref, "2pass-online")
         assert _texts(out, "2pass-offline") == _texts(ref, "2pass-offline")
         assert _texts(out, "2pass-offline")
