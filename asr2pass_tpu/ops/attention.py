@@ -39,6 +39,12 @@ _NEG = -1e30
 # 0 = adaptive (see _ss_block_q); a positive value forces that block size
 BLOCK_Q_SS = int(os.environ.get("ASR2PASS_SS_BLOCK_Q", "0"))
 MAX_T_SS = 2048
+# split-head single-shot bound: per-(b,h) the kernel holds [Tk, d_head]
+# K/V + one [BQ, Tk] score slab, so it stretches 2x past the unsplit
+# kernel's [Tk, 2D] bound. Measured on the T=4096 bucket: online-softmax
+# fallback 206 ms/forward vs ~37 ms single-shot (the 1.2k vs 6.6k
+# audio-s/s cliff in scripts/bench_sp.py's long-T curve).
+MAX_T_SS_SPLIT = 4096
 
 
 def _ss_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, sm_scale: float):
@@ -186,11 +192,11 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
 def flash_attention(q, k, v, mask, interpret: bool = False):
     """q,k,v: [B, H, T, D]; mask: [B, T] (>0 valid). Returns [B, H, T, D].
 
-    Dispatches to the single-shot kernel when the full key range fits
-    VMEM (T <= MAX_T_SS), else the online-softmax flash kernel.
-    Fully-masked query rows return 0 (matching the masked XLA path after
-    output masking)."""
-    if q.shape[2] <= MAX_T_SS:
+    Dispatches to the single-shot kernel when the full per-head key
+    range fits VMEM (T <= MAX_T_SS_SPLIT), else the online-softmax flash
+    kernel. Fully-masked query rows return 0 (matching the masked XLA
+    path after output masking)."""
+    if q.shape[2] <= MAX_T_SS_SPLIT:
         return _attention_ss(q, k, v, mask, q_mask=mask,
                              interpret=interpret)
     return _attention_flash(q, k, v, mask, interpret=interpret)

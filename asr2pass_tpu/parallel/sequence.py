@@ -138,10 +138,24 @@ def encode_sequence_parallel(params, feats, cfg: EncoderConfig, mesh: Mesh,
 
     from jax import shard_map as _sm
 
-    sharded = _sm(fn, mesh=mesh,
-                  in_specs=(P(), P(None, axis, None), P(None, axis)),
-                  out_specs=P(None, axis, None))
+    # jit + program cache: an unjitted shard_map executes per-primitive
+    # (measured ~14 s/call on the 8-device CPU mesh where the jitted
+    # program runs in tens of ms) and a per-call trace would RECOMPILE on
+    # every served SP segment — minutes each through a remote-compile
+    # tunnel. The mask rides as an argument, so only (cfg, mesh, axis,
+    # shapes) key the cache.
+    key = (cfg, mesh, axis, tuple(feats.shape))
+    prog = _SP_PROGRAMS.get(key)
+    if prog is None:
+        prog = jax.jit(_sm(fn, mesh=mesh,
+                           in_specs=(P(), P(None, axis, None),
+                                     P(None, axis)),
+                           out_specs=P(None, axis, None)))
+        _SP_PROGRAMS[key] = prog
     feats = jax.device_put(feats, NamedSharding(mesh, P(None, axis, None)))
     mask_full = jax.device_put(
         mask_full, NamedSharding(mesh, P(None, axis)))
-    return sharded(params, feats, mask_full)
+    return prog(params, feats, mask_full)
+
+
+_SP_PROGRAMS: dict = {}

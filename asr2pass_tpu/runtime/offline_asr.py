@@ -62,7 +62,7 @@ def _hw_bucket(n: int) -> int:
 class ParaformerOffline:
     def __init__(self, params, cfg: ParaformerConfig, vocab: Vocab,
                  cmvn=None, lm_decoder=None, sp_mesh=None,
-                 sp_axis: str = "sp", sp_threshold: int = 1024,
+                 sp_axis: str = "sp", sp_threshold: int = 4096,
                  tp_mesh=None):
         # optional tensor parallelism (SURVEY §2.5 model-parallel row):
         # params sharded Megatron-style over a ("dp","tp") mesh
@@ -81,26 +81,33 @@ class ParaformerOffline:
         # paraformer.cpp:410-419); greedy otherwise
         self.lm_decoder = lm_decoder
         # optional sequence parallelism (SURVEY §5 long-context): segments
-        # longer than sp_threshold LFR frames (~61 s at 60 ms/frame) run
-        # the encoder TIME-sharded over sp_mesh instead of being limited
-        # to what one chip's HBM/latency tolerates. Wins when segments are
-        # minutes long AND idle chips exist; for the common <=60 s VAD
-        # segments the bucketed single-chip batches are faster (no
-        # all-gather/halo traffic), so this only triggers past the
-        # largest standard bucket.
+        # longer than sp_threshold LFR frames run the encoder TIME-sharded
+        # over sp_mesh. Default threshold 4096 (~4 min at 60 ms/frame) is
+        # MEASURED: the single-shot attention kernel covers T<=4096 at
+        # ~5-6.7k audio-s/s single-chip (scripts/bench_sp.py), so sharding
+        # below that only adds all-gather/halo traffic; past it the
+        # single-chip falls to the online-softmax fallback and dividing T
+        # over idle chips wins.
         self.sp_mesh = sp_mesh
         self.sp_axis = sp_axis
         self.sp_threshold = sp_threshold
 
-    def _forward_sp(self, feats: np.ndarray, length: int):
-        """One long segment through the sequence-parallel path; T padded
-        to a multiple of the mesh axis."""
+    def _sp_pad_t(self, t: int) -> int:
         n = self.sp_mesh.shape[self.sp_axis]
-        t = -(-feats.shape[0] // (n * 64)) * (n * 64)
-        batch = np.zeros((1, t, feats.shape[1]), np.float32)
-        batch[0, : feats.shape[0]] = feats
+        return -(-t // (n * 64)) * (n * 64)
+
+    def _forward_sp(self, feats_list, lengths):
+        """Long segments through the sequence-parallel path as a TRUE
+        batch (VERDICT r3 item 8 — the path decoded segment-solo before):
+        all segments share one padded T (a multiple of the mesh axis), so
+        one sharded forward serves the group."""
+        t = max(self._sp_pad_t(f.shape[0]) for f in feats_list)
+        batch = np.zeros((len(feats_list), t, feats_list[0].shape[1]),
+                         np.float32)
+        for k, f in enumerate(feats_list):
+            batch[k, : f.shape[0]] = f
         return paraformer.apply_sp(
-            self.params, self.cfg, jnp.asarray(batch), [length],
+            self.params, self.cfg, jnp.asarray(batch), list(lengths),
             self.sp_mesh, axis=self.sp_axis, max_tokens=t // 2 + 8)
 
     def _forward(self, feats_batch: np.ndarray, lengths: List[int],
@@ -189,10 +196,18 @@ class ParaformerOffline:
         chunks = [(bucket, hw_key, idxs[j: j + _MAX_BATCH])
                   for (bucket, hw_key), idxs in groups.items()
                   for j in range(0, len(idxs), _MAX_BATCH)]
+        # SP segments batch by padded length (one sharded forward per
+        # group instead of one per segment)
+        sp_groups = {}
         for i in sp_idxs:
-            out = self._forward_sp(feats[i], feats[i].shape[0])
-            results[i] = self._postprocess_one(
-                out, 0, feats[i].shape[0], lm_for(i))
+            sp_groups.setdefault(
+                self._sp_pad_t(feats[i].shape[0]), []).append(i)
+        for idxs in sp_groups.values():
+            out = self._forward_sp([feats[i] for i in idxs],
+                                   [feats[i].shape[0] for i in idxs])
+            for k, i in enumerate(idxs):
+                results[i] = self._postprocess_one(
+                    out, k, feats[i].shape[0], lm_for(i))
         records = []
         handles: list = []
         for bucket, hw_key, idxs in chunks:

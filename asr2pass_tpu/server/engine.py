@@ -68,7 +68,7 @@ class ServerModels:
     # (parallel/sequence.py). None = single-chip bucketed batches only.
     sp_mesh: Any = None
     sp_axis: str = "sp"
-    sp_threshold: int = 1024
+    sp_threshold: int = 4096
     # tensor parallelism for the pass-2 model (SURVEY §2.5 model-parallel
     # row; BASELINE north-star config 5): a ("dp","tp") mesh from
     # parallel/sharding.make_mesh — offline/SenseVoice recognizers shard

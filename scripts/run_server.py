@@ -68,9 +68,11 @@ def main():
                         " LFR frames over this many devices (sequence "
                         "parallelism; 0 = off). Lets a request exceed the "
                         "single-chip 61 s bucket without VAD force-cuts.")
-    p.add_argument("--sp-threshold", type=int, default=1024,
+    p.add_argument("--sp-threshold", type=int, default=4096,
                    help="LFR frames (60 ms each) above which segments "
-                        "take the sequence-parallel path")
+                        "take the sequence-parallel path (default 4096: the "
+                        "single-chip single-shot attention kernel covers "
+                        "T<=4096, scripts/bench_sp.py)")
     p.add_argument("--demo", action="store_true",
                    help="random tiny models (protocol testing)")
     p.add_argument("--cpu", action="store_true",
