@@ -83,18 +83,46 @@ def ctc_prefix_beam_search(
     first_beam = per-frame candidate tokens (first prune); beam = kept
     prefixes (second prune) — the TopK pair of ctc-prefix-decoder.cpp.
     """
-    root = _PrefixScore()
-    root.pb = 0.0
-    beams: Dict[tuple, _PrefixScore] = {(): root}
+    frames = []
     for t in range(length):
         row = log_probs[t]
         cand = np.argpartition(row, -first_beam)[-first_beam:] \
             if first_beam < row.shape[0] else np.arange(row.shape[0])
+        frames.append([(int(tok), float(row[tok])) for tok in cand])
+    return _prefix_beam_over_frames(frames, beam, blank_id, context,
+                                    id_to_token)
+
+
+def ctc_prefix_beam_search_pruned(
+    cand_ids: np.ndarray,
+    cand_logp: np.ndarray,
+    length: int,
+    beam: int = 10,
+    blank_id: int = 0,
+    context: Optional[ContextGraph] = None,
+    id_to_token=None,
+) -> List[Tuple[List[int], float, List[int]]]:
+    """Prefix beam over PRE-PRUNED per-frame candidates ([T, k] ids +
+    log-probs) — the first-prune stage runs ON DEVICE
+    (parallel/ctc_shard.py), sharded over the tp mesh when the CTC head
+    is vocab-sharded, so only k candidates per frame cross the wire
+    instead of the [T, V] row. Equivalent to ctc_prefix_beam_search with
+    first_beam = k."""
+    frames = [[(int(cand_ids[t, j]), float(cand_logp[t, j]))
+               for j in range(cand_ids.shape[1])]
+              for t in range(length)]
+    return _prefix_beam_over_frames(frames, beam, blank_id, context,
+                                    id_to_token)
+
+
+def _prefix_beam_over_frames(frames, beam, blank_id, context, id_to_token):
+    root = _PrefixScore()
+    root.pb = 0.0
+    beams: Dict[tuple, _PrefixScore] = {(): root}
+    for t, cands in enumerate(frames):
         next_beams: Dict[tuple, _PrefixScore] = defaultdict(_PrefixScore)
         for prefix, ps in beams.items():
-            for tok in cand:
-                tok = int(tok)
-                p = float(row[tok])
+            for tok, p in cands:
                 if p < -12.0 and tok != blank_id:
                     continue
                 if tok == blank_id:

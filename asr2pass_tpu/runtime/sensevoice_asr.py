@@ -123,6 +123,46 @@ class SenseVoiceOffline:
                 jnp.asarray(lens, jnp.int32), jnp.asarray(lid),
                 jnp.asarray(tn),
             )
+            if self.beam > 1 or self.context is not None:
+                # beam mode: the first-prune (per-frame candidate set)
+                # runs ON DEVICE — sharded over the tp mesh when the CTC
+                # head is vocab-sharded (candidates exchanged via
+                # pmax/psum/all_gather collectives,
+                # parallel/ctc_shard.py) — and only [T, k] candidates
+                # cross the wire instead of [T, V] logits
+                import jax as _jax
+
+                from asr2pass_tpu.decode.ctc import (
+                    ctc_prefix_beam_search_pruned,
+                )
+                from asr2pass_tpu.parallel.ctc_shard import (
+                    ctc_first_prune,
+                    ctc_first_prune_sharded,
+                )
+
+                kcand = 64
+                v = out.logits.shape[-1]
+                if (self.tp_mesh is not None
+                        and v % self.tp_mesh.shape["tp"] == 0):
+                    cid, clp = ctc_first_prune_sharded(
+                        out.logits, self.tp_mesh, "tp", k=kcand)
+                else:
+                    cid, clp = ctc_first_prune(out.logits, k=kcand)
+                meta_dev = jnp.argmax(out.logits[:, :NUM_META], -1)
+                cid, clp, meta, lengths = _jax.device_get(
+                    (cid, clp, meta_dev, out.lengths))
+                for k, i in enumerate(idxs):
+                    ln = int(lengths[k])
+                    nbest = ctc_prefix_beam_search_pruned(
+                        np.asarray(cid[k, NUM_META:ln]),
+                        np.asarray(clp[k, NUM_META:ln], np.float32),
+                        ln - NUM_META, beam=max(self.beam, 10),
+                        blank_id=self.cfg.blank_id, context=self.context,
+                        id_to_token=self.vocab.id2token)
+                    ids = nbest[0][0] if nbest else []
+                    self.last_meta = [int(x) for x in meta[k]]
+                    results[i] = (self.vocab.to_string(ids), [])
+                continue
             logits = np.asarray(out.logits)
             lengths = np.asarray(out.lengths)
             for k, i in enumerate(idxs):

@@ -127,3 +127,81 @@ def test_hotword_tokenize_mixed():
     vocab = make_test_vocab(64)
     ids = hw_mod.tokenize_hotword(vocab.id2token(5) + "abc", vocab)
     assert len(ids) == 2  # CJK char + <unk> latin word
+
+
+def test_device_first_prune_matches_host():
+    """ON-DEVICE first-prune (plain + vocab-sharded over the tp mesh with
+    collective candidate exchange) returns the same candidate sets the
+    host beam would take from the full [T, V] log-softmax rows."""
+    from asr2pass_tpu.parallel.ctc_shard import (
+        ctc_first_prune,
+        ctc_first_prune_sharded,
+    )
+    from asr2pass_tpu.parallel.sharding import make_mesh
+
+    rng = np.random.default_rng(7)
+    b, t, v, k = 2, 12, 64, 8
+    logits = rng.standard_normal((b, t, v)).astype(np.float32) * 2.0
+    logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+    ids_p, sc_p = ctc_first_prune(jnp.asarray(logits), k=k)
+    mesh = make_mesh(8, tp=8)
+    ids_s, sc_s = ctc_first_prune_sharded(jnp.asarray(logits), mesh,
+                                          "tp", k=k)
+    for ids, sc in ((np.asarray(ids_p), np.asarray(sc_p)),
+                    (np.asarray(ids_s), np.asarray(sc_s))):
+        for bi in range(b):
+            for ti in range(t):
+                want = set(np.argsort(logp[bi, ti])[-k:].tolist())
+                assert set(ids[bi, ti].tolist()) == want
+                np.testing.assert_allclose(
+                    np.sort(sc[bi, ti]),
+                    np.sort(logp[bi, ti][list(want)]), atol=1e-5)
+
+
+def test_pruned_beam_matches_full_beam():
+    """ctc_prefix_beam_search_pruned over device-pruned candidates ==
+    ctc_prefix_beam_search over full rows with first_beam = k."""
+    from asr2pass_tpu.decode.ctc import (
+        ctc_prefix_beam_search,
+        ctc_prefix_beam_search_pruned,
+    )
+    from asr2pass_tpu.parallel.ctc_shard import ctc_first_prune
+
+    rng = np.random.default_rng(11)
+    t, v, k = 16, 40, 12
+    logits = rng.standard_normal((t, v)).astype(np.float32) * 2.0
+    logp = (logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+            ).astype(np.float32)
+    full = ctc_prefix_beam_search(logp, t, beam=6, first_beam=k)
+    ids, sc = ctc_first_prune(jnp.asarray(logits)[None], k=k)
+    pruned = ctc_prefix_beam_search_pruned(
+        np.asarray(ids)[0], np.asarray(sc)[0], t, beam=6)
+    assert [p[0] for p in pruned] == [p[0] for p in full]
+    np.testing.assert_allclose([p[1] for p in pruned],
+                               [p[1] for p in full], atol=1e-4)
+
+
+def test_sensevoice_tp_sharded_beam_decode():
+    """North-star sharded-decode clause: a SenseVoice beam decode through
+    a tp-sharded model — params Megatron-sharded AND the beam's per-frame
+    candidate sets assembled via collectives — produces the same text as
+    the unsharded beam decode."""
+    from asr2pass_tpu.parallel.sharding import make_mesh
+
+    cfg = sensevoice_tiny()
+    params = sensevoice.init(jax.random.PRNGKey(0), cfg)
+    vocab = make_test_vocab(cfg.vocab_size)
+    rng = np.random.default_rng(5)
+    wave = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+
+    ref = SenseVoiceOffline(params, cfg, vocab, lang="zh", beam=4)
+    want, _ = ref.recognize(wave)
+    ref_meta = list(ref.last_meta)
+
+    mesh = make_mesh(8, tp=8)        # vocab 64 % 8 == 0 -> sharded prune
+    tp = SenseVoiceOffline(params, cfg, vocab, lang="zh", beam=4,
+                           tp_mesh=mesh)
+    got, _ = tp.recognize(wave)
+    assert got == want
+    assert list(tp.last_meta) == ref_meta
