@@ -549,3 +549,39 @@ def test_engine_fused_fetch_matches_sync(models):
         assert _texts(out, "2pass-offline")
     finally:
         eng.shutdown()
+
+
+def test_engine_long_stream_ring_wrap(models):
+    """A stream longer than the device audio ring (2^17 samples ≈ 8.2 s)
+    exercises the ring-wrap write path (boundary-capped staging) and the
+    wrap-reading pass-1 gather; results must equal a fresh engine fed the
+    same audio in two shorter utterances... more simply: equal the
+    TwoPassSession reference on the same 12 s wave."""
+    wave = _wave(41, seconds=12.0)
+
+    session = models.create_session(mode="2pass")
+    ref = _drive_session_basic(session, wave)
+
+    eng = StreamEngine(models, capacity=2)
+    sid = eng.open()
+    got = _drive(eng, sid, wave)
+    # absolute position crossed the ring boundary
+    from asr2pass_tpu.runtime.engine import _RING_SAMPLES
+
+    assert eng._abs_fed[sid] > _RING_SAMPLES or len(wave) > _RING_SAMPLES
+    assert _texts(got, "2pass-online") == _texts(ref, "2pass-online")
+    assert _texts(got, "2pass-offline") == _texts(ref, "2pass-offline")
+    assert _texts(got, "2pass-online")      # non-degenerate
+
+
+def _drive_session_basic(session, wave, step_ms=600):
+    out = []
+    step = int(16000 * step_ms / 1000)
+    for off in range(0, len(wave), step):
+        res = session.feed(wave[off: off + step],
+                           is_final=off + step >= len(wave))
+        if res.partial:
+            out.append({"mode": "2pass-online", "text": res.partial})
+        if res.final_text:
+            out.append({"mode": "2pass-offline", "text": res.final_text})
+    return out
