@@ -381,8 +381,8 @@ def use_flash(t: int, d_head: int, att_mask) -> bool:
     """Gate for the unsplit-projection single-shot kernel: default-on for
     TPU at segment shapes; no custom mask; T bounded by what fits VMEM
     (mh_flash_attention pins the whole [Tk, 2D] K/V block per program —
-    beyond MAX_T_SS the split-head path routes to the online-softmax
-    kernel instead, which streams K/V per head)."""
+    beyond MAX_T_SS the split-head path takes over: per-head single-shot
+    to MAX_T_SS_SPLIT, online-softmax streaming beyond)."""
     if not flash_enabled():
         return False
     if att_mask is not None:
