@@ -105,6 +105,16 @@ def bench_engine(args):
                        vad_async=args.vad_async,
                        fused_fetch=args.fused_fetch)
     eng.warmup()
+    # warm the pass-2 bucket programs the burst pattern will hit — the
+    # first in-process compile of a (bucket, batch) shape otherwise lands
+    # inside the measured window (observed as 210 vs 330 streams across
+    # otherwise identical runs)
+    if eng.offline is not None:
+        rng0 = np.random.default_rng(1)
+        for secs, count in ((10.0, 8), (5.0, 16), (14.0, 4), (3.0, 1)):
+            segs = [(rng0.standard_normal(int(16000 * secs)) * 0.1)
+                    .astype(np.float32) for _ in range(count)]
+            eng.offline.asr.recognize_batch(segs)
     sids = [eng.open() for _ in range(s)]
     rng = np.random.default_rng(0)
     # bursty audio so the (random-weight) VAD automaton produces endpoints
