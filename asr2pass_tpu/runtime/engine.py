@@ -430,6 +430,10 @@ class StreamEngine:
             self.online_state, self._audio_ring, zi,
             zi, zi, zi, zi, zb, zi, zi, zi, zb,
             self._p1_hist, self._p1_ring)
+        if self._fused_fetch:
+            # the fused tick's combined fetch runs on THIS thread (the
+            # serving executor) — pay its one-time session setup here
+            jax.device_get((probs, ids, nums))
         if self._vad_async:
             with self._results_lock:
                 self._vd_outstanding += 1
@@ -794,11 +798,12 @@ class StreamEngine:
             # -epoch-relative ms; align to the end (the splitter clamps
             # only the front of early slices).
             gs, cur_start, cur_n = [], None, 0
+            seg_sample = slot.splitter.seg_sample   # samples per ms
             for fr in online_frames:
                 n = len(fr.data)
                 if cur_start is None:
                     cur_start = (slot.splitter_base
-                                 + fr.global_end * 16 - n)
+                                 + fr.global_end * seg_sample - n)
                 cur_n += n
                 if fr.is_final:
                     gs.append((cur_start, cur_n, True))
@@ -871,6 +876,34 @@ class StreamEngine:
                 # the ring, staging pauses so the flush boundary
                 # (p1_flush_at) is unambiguous — resumes next round
                 if slot.p1_groups and slot.p1_flush_at is None:
+                    # ring-age guard BEFORE any state mutation: if this
+                    # slot's backlog outran the device audio ring (its
+                    # oldest staged sample was overwritten), quarantine
+                    # THIS stream — drop its pass-1 backlog and move on.
+                    # Raising here would abort the shared scan after
+                    # earlier slots advanced their mirrors, and the
+                    # driver's containment would retry into the same
+                    # error every tick: an engine-wide livelock.
+                    oldest = (slot.p1_cursor if slot.p1_residual
+                              else slot.p1_groups[0][0])
+                    if (self._abs_fed[sid] - oldest
+                            > _RING_SAMPLES - self._p1_need):
+                        import logging
+
+                        logging.getLogger("asr2pass.engine").error(
+                            "slot %d pass-1 backlog exceeds the device "
+                            "audio ring (%d samples); dropping its "
+                            "pass-1 backlog", sid, _RING_SAMPLES)
+                        slot.p1_groups.clear()
+                        slot.p1_residual = 0
+                        slot.p1_total = 0
+                        slot.p1_win = 0
+                        slot.p1_flush_at = None
+                        slot.p1_ring_r = slot.p1_ring_w
+                        win_start[sid] = 0
+                        total_new[sid] = 0
+                        ring_woff[sid] = slot.p1_ring_w % ring_n
+                        continue
                     total, fe_fin = 0, False
                     while (slot.p1_groups and total < max_stage
                            and not fe_fin):
@@ -887,13 +920,6 @@ class StreamEngine:
                         total += g_n
                         fe_fin = fe_fin or f
                     lbuf = slot.p1_residual + total
-                    # ring-age guard: the device audio ring must still
-                    # hold the oldest staged sample
-                    if (self._abs_fed[sid] - slot.p1_cursor
-                            > _RING_SAMPLES - self._p1_need):
-                        raise RuntimeError(
-                            f"pass-1 backlog for slot {sid} exceeds the "
-                            f"device audio ring ({_RING_SAMPLES} samples)")
                     n = ((lbuf - flen) // shift + 1
                          if lbuf >= flen else 0)
                     start_off[sid] = slot.p1_cursor % _RING_SAMPLES
@@ -1098,24 +1124,38 @@ class StreamEngine:
                     self._p2_queue.put(None)   # re-post the stop signal
                     break
                 pairs.append(nxt)
+            settled: list = []
             try:
-                self._process_segments(pairs)
+                self._process_segments(pairs, settled)
             except Exception:  # pragma: no cover - keep the lane alive
                 import logging
 
                 logging.getLogger("asr2pass.engine").exception(
                     "pass-2 lane failure")
-                # decrement the CAPTURED slot objects: resolving
-                # self.slots[sid] here could hit a reclaimed slot and wedge
-                # the new connection's drained() at -1
+                # decrement ONLY the pairs _process_segments had not
+                # already settled (a partial failure otherwise
+                # double-decrements and wedges reclaim at -1), and on the
+                # CAPTURED slot objects: resolving self.slots[sid] here
+                # could hit a reclaimed slot
+                done = set(settled)
                 with self._results_lock:
-                    for _, slot, _ in pairs:
-                        slot.p2_inflight -= 1
+                    for idx, (_, slot, _) in enumerate(pairs):
+                        if idx not in done:
+                            slot.p2_inflight -= 1
 
-    def _process_segments(self, pairs):
+    def _process_segments(self, pairs, settled=None):
         """Offline-decode segments with each owner's per-connection options
-        (hotwords, LM, ITN, svs lang) and post results to the slots."""
+        (hotwords, LM, ITN, svs lang) and post results to the slots.
+
+        `settled` (when given) collects the pair indices whose inflight
+        counter this call decremented — the caller's failure handler
+        decrements only the remainder. Per-segment post-processing
+        failures (punc/ITN/timestamps) are contained per pair so one bad
+        segment cannot poison the whole batch."""
         from asr2pass_tpu.runtime.sensevoice_asr import SenseVoiceOffline
+
+        if settled is None:
+            settled = []
 
         slots = [slot for _, slot, _ in pairs]
         segs = [fr.data for _, _, fr in pairs]
@@ -1137,26 +1177,40 @@ class StreamEngine:
             # then waits on pass-2 forward compute, and the lane stalls
             # on the tick instead of pipelining its next batch
             outs = self.offline.asr.recognize_batch(segs, **kw)
-        for (text, merged), (sid, slot, fr) in zip(outs, pairs):
-            stamps = ts_mod.stamps_to_ms(merged, fr.global_start / 1000.0)
-            if self.punc is not None and text:
-                text = self.punc.add_punc_streaming(text, slot.punc_cache)
-            if self.models.itn is not None and slot.use_itn and text:
-                text_itn = self.models.itn.normalize(text)
+        for idx, ((text, merged), (sid, slot, fr)) in enumerate(
+                zip(outs, pairs)):
+            res = None
+            try:
+                stamps = ts_mod.stamps_to_ms(merged,
+                                             fr.global_start / 1000.0)
+                if self.punc is not None and text:
+                    text = self.punc.add_punc_streaming(text,
+                                                        slot.punc_cache)
+                if self.models.itn is not None and slot.use_itn and text:
+                    text_itn = self.models.itn.normalize(text)
+                    if stamps:
+                        sm = ts_mod.timestamp_smooth(text, text_itn,
+                                                     stamps)
+                        if sm:
+                            stamps = sm
+                    text = text_itn
+                res = {"mode": "2pass-offline", "text": text}
                 if stamps:
-                    sm = ts_mod.timestamp_smooth(text, text_itn, stamps)
-                    if sm:
-                        stamps = sm
-                text = text_itn
-            res = {"mode": "2pass-offline", "text": text}
-            if stamps:
-                res["timestamp"] = stamps
-                res["stamp_sents"] = ts_mod.timestamp_sentence(text, stamps)
+                    res["timestamp"] = stamps
+                    res["stamp_sents"] = ts_mod.timestamp_sentence(text,
+                                                                   stamps)
+            except Exception:  # pragma: no cover - per-pair containment
+                import logging
+
+                logging.getLogger("asr2pass.engine").exception(
+                    "pass-2 post-processing failure (slot %d)", sid)
             with self._results_lock:
                 slot.p2_inflight -= 1
+                settled.append(idx)
                 # deliver only to the connection that queued the segment:
                 # if the slot index was reclaimed (or closed) in the
                 # meantime, the captured object is no longer current and
                 # the transcript is dropped, never cross-delivered
-                if self.slots[sid] is slot and slot.active:
+                if (res is not None and self.slots[sid] is slot
+                        and slot.active):
                     slot.results.append(res)

@@ -84,6 +84,25 @@ class ServerModels:
         self._tlg_graph_cache = None
         self._lm_base_cache = None
         self._offline_rec_cache: "OrderedDict" = OrderedDict()
+        # tp-sharded param trees, built ONCE: every recognizer
+        # construction would otherwise device_put a fresh sharded copy of
+        # the whole model into HBM (one per connection / cache entry)
+        self._tp_shard_cache: dict = {}
+
+    def _tp_params(self, which: str, params):
+        """Megatron-sharded view of `params` over tp_mesh, built once
+        and shared: recognizers re-device_put these, which is a no-op on
+        already-sharded arrays (no extra HBM copies per connection)."""
+        if self.tp_mesh is None:
+            return params
+        from asr2pass_tpu.parallel.sharding import shard_params
+
+        with self._res_lock:
+            cached = self._tp_shard_cache.get(which)
+            if cached is None:
+                cached = shard_params(params, self.tp_mesh)
+                self._tp_shard_cache[which] = cached
+        return cached
 
     def _punctuator(self) -> Optional[Punctuator]:
         if self.punc_params is None:
@@ -173,15 +192,15 @@ class ServerModels:
                 )
 
                 offline = SenseVoiceOffline(
-                    self.svs_params, self.svs_cfg,
+                    self._tp_params("svs", self.svs_params), self.svs_cfg,
                     self.svs_vocab or self.vocab, cmvn=self.svs_cmvn,
                     lang=svs_lang, use_itn_token=svs_itn,
                     tp_mesh=self.tp_mesh,
                 )
             else:
                 offline = ParaformerOffline(
-                    self.asr_params, self.asr_cfg, self.vocab,
-                    cmvn=self.asr_cmvn,
+                    self._tp_params("asr", self.asr_params), self.asr_cfg,
+                    self.vocab, cmvn=self.asr_cmvn,
                     lm_decoder=self._make_lm_decoder(hotwords),
                     tp_mesh=self.tp_mesh,
                 )
@@ -206,14 +225,15 @@ class ServerModels:
             from asr2pass_tpu.runtime.sensevoice_asr import SenseVoiceOffline
 
             asr = SenseVoiceOffline(
-                self.svs_params, self.svs_cfg, self.svs_vocab or self.vocab,
+                self._tp_params("svs", self.svs_params), self.svs_cfg,
+                self.svs_vocab or self.vocab,
                 cmvn=self.svs_cmvn, lang=svs_lang, use_itn_token=svs_itn,
                 tp_mesh=self.tp_mesh,
             )
         else:
             asr = ParaformerOffline(
-                self.asr_params, self.asr_cfg, self.vocab,
-                cmvn=self.asr_cmvn,
+                self._tp_params("asr", self.asr_params), self.asr_cfg,
+                self.vocab, cmvn=self.asr_cmvn,
                 lm_decoder=self._make_lm_decoder(hotwords),
                 sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
                 sp_threshold=self.sp_threshold,

@@ -72,6 +72,12 @@ class ConnectionState:
         # frames are dropped and the final message re-answers with the same
         # error until the next config JSON resets the connection state
         self.upload_rejected: Optional[str] = None
+        # set after an engine-at-capacity refusal: the remaining frames of
+        # that utterance are dropped (ONE error result was already sent —
+        # re-attempting per frame would emit repeated is_final errors and
+        # could start decoding mid-utterance if a slot frees); the next
+        # config JSON re-arms the connection for a retry
+        self.engine_refused = False
 
 
 class AsrWsServer:
@@ -160,6 +166,7 @@ class AsrWsServer:
             return
         if not st.started:
             st.upload_rejected = None
+            st.engine_refused = False
             st.mode = obj.get("mode", st.mode)
             st.wav_name = obj.get("wav_name", st.wav_name)
             st.wav_format = obj.get("wav_format", st.wav_format)
@@ -295,6 +302,8 @@ class AsrWsServer:
     # -- engine-backed path --------------------------------------------
     async def _engine_feed(self, ws, st: ConnectionState, samples,
                            is_final: bool):
+        if st.engine_refused:
+            return
         if getattr(st, "engine_sid", None) is None:
             from asr2pass_tpu.runtime.engine import EngineAtCapacity
 
@@ -309,9 +318,11 @@ class AsrWsServer:
                     )
             except EngineAtCapacity as e:
                 # protocol error result instead of a dead socket: the
-                # connection stays open so the client can retry after
-                # other streams drain
+                # connection stays open so the client can retry (with a
+                # fresh config message) after other streams drain; the
+                # current utterance's remaining frames are dropped
                 st.started = False
+                st.engine_refused = True
                 await self._send(ws, {
                     "text": "", "mode": st.mode, "wav_name": st.wav_name,
                     "is_final": True, "error": str(e),

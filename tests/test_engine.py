@@ -134,9 +134,9 @@ def test_engine_no_cross_delivery_on_slot_reclaim(models):
     gate = threading.Event()
     orig = eng._process_segments
 
-    def gated(pairs):
+    def gated(pairs, settled=None):
         gate.wait(timeout=60)
-        orig(pairs)
+        orig(pairs, settled)
 
     eng._process_segments = gated
     try:
@@ -178,7 +178,7 @@ def test_engine_pass2_error_path_decrements_captured_slot(models):
     eng = StreamEngine(models, capacity=1, pass2_async=True)
     calls = {"n": 0}
 
-    def boom(pairs):
+    def boom(pairs, settled=None):
         calls["n"] += 1
         raise RuntimeError("poisoned segment")
 
