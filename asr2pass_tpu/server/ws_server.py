@@ -165,6 +165,12 @@ class AsrWsServer:
             await self._send(ws, {"stats": METRICS.report()})
             return
         if not st.started:
+            if st.engine_refused and set(obj) <= {"is_speaking"}:
+                # the refused utterance's trailing end marker must not
+                # re-attempt a slot claim (a second error final would
+                # break the one-final-per-utterance ordering); only a
+                # real config message re-arms the connection
+                return
             st.upload_rejected = None
             st.engine_refused = False
             st.mode = obj.get("mode", st.mode)

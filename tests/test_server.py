@@ -186,6 +186,13 @@ def test_engine_at_capacity_error_json(models):
                     await asyncio.wait_for(ws2.recv(), timeout=30))
                 assert msg["is_final"] is True
                 assert "capacity" in msg.get("error", "")
+                # the utterance's remaining frames are DROPPED after the
+                # refusal — no per-frame re-attempt, no repeated finals
+                await ws2.send(pcm)
+                await ws2.send(pcm)
+                await ws2.send(json.dumps({"is_speaking": False}))
+                with pytest.raises(asyncio.TimeoutError):
+                    await asyncio.wait_for(ws2.recv(), timeout=1.0)
                 # the socket survives the refusal: stats still answered
                 await ws2.send(json.dumps({"action": "stats"}))
                 reply = json.loads(
