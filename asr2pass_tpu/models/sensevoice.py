@@ -84,3 +84,38 @@ def apply(params, cfg: SenseVoiceConfig, feats, lengths, lid_ids, tn_ids
 @functools.partial(jax.jit, static_argnums=(1,))
 def apply_jit(params, cfg: SenseVoiceConfig, feats, lengths, lid_ids, tn_ids):
     return apply(params, cfg, feats, lengths, lid_ids, tn_ids)
+
+
+@functools.partial(jax.jit, static_argnames=("blank_id",))
+def greedy_ids(out: SenseVoiceOutput, blank_id: int = 0
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """On-device greedy CTC decode: argmax + repeat-collapse + blank and
+    meta-prefix strip, so serving fetches [B, U] int32 ids + [B] counts
+    instead of the [B, T, V] logits tensor (at production scale V≈25k
+    that tensor is ~820 MB/chunk over a ~30 MB/s device->host tunnel —
+    the round-trip economics rule in CLAUDE.md). Exactly mirrors
+    decode/ctc.ctc_greedy(skip_first=NUM_META), the CTCSearch semantics
+    of sensevoice-small.cpp:323-377.
+
+    Returns (ids [B, L-NUM_META], counts [B], meta [B, NUM_META]) where
+    meta holds the argmax of the lang/emotion/event/textnorm positions.
+    """
+    logits, lengths = out.logits, out.lengths
+    b, l, _ = logits.shape
+    am = jnp.argmax(logits, -1).astype(jnp.int32)           # [B, L]
+    t_idx = jnp.arange(l)[None, :]
+    prev = jnp.concatenate(
+        [jnp.full((b, 1), -1, jnp.int32), am[:, :-1]], axis=1)
+    # the host greedy starts fresh at skip_first: no dedup vs meta frame
+    prev = jnp.where(t_idx == NUM_META, -1, prev)
+    keep = ((t_idx >= NUM_META) & (t_idx < lengths[:, None])
+            & (am != blank_id) & (am != prev))
+    u = l - NUM_META
+    # compact kept tokens left; dropped frames scatter into a spare
+    # column that the final slice discards
+    pos = jnp.where(keep, jnp.cumsum(keep, axis=1) - 1, u)
+    ids = jnp.zeros((b, u + 1), jnp.int32).at[
+        jnp.arange(b)[:, None], pos].set(am)
+    counts = keep.sum(1).astype(jnp.int32)
+    meta = jnp.argmax(logits[:, :NUM_META], -1).astype(jnp.int32)
+    return ids[:, :u], counts, meta

@@ -44,6 +44,22 @@ def ctc_first_prune(logits, k: int = 64):
     return _prune_plain(min(k, logits.shape[-1]))(logits)
 
 
+@jax.jit
+def ctc_gather_logp(logits, ids):
+    """Globally-normalized log-probs of an EXPLICIT id set for every
+    frame: [B, T, V] logits + [E] ids -> [B, T, E] logp.
+
+    Serves the pruned-beam hotword guarantee: the context graph's unit
+    ids are force-included into the beam's per-frame candidate set, so
+    the device top-k prune can never hide a hotword token from the bias
+    (the reference updates context on the FULL vocab beam,
+    ctc-prefix-decoder.cpp:280-299). Works on tp-sharded logits too —
+    GSPMD turns the take over the sharded vocab axis into the needed
+    collective."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return jnp.take(logp, ids, axis=-1)
+
+
 _PROGRAMS: dict = {}
 
 

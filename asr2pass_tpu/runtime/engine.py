@@ -265,6 +265,7 @@ class _Slot:
     # these per connection, websocket-server-2pass.cpp:424-523)
     hw_emb: Any = None                 # compiled hotword embeddings [N, D]
     lm_decoder: Any = None             # per-connection LM handle (+bias)
+    svs_context: Any = None            # hotword ContextGraph (SVS pass-2)
     use_itn: bool = True
     svs_lang: Any = None
     svs_itn: Any = None
@@ -487,6 +488,17 @@ class StreamEngine:
                         or self.models.tlg_dir is not None):
                     slot.lm_decoder = self.models._make_lm_decoder(
                         hotwords or None)
+                if hotwords and self.offline is not None:
+                    from asr2pass_tpu.runtime.sensevoice_asr import (
+                        SenseVoiceOffline,
+                    )
+
+                    if isinstance(self.offline.asr, SenseVoiceOffline):
+                        # SVS hotword biasing rides the context graph in
+                        # the CTC beam (sensevoice-small.cpp:392-440) —
+                        # compiled once per connection, shared read-only
+                        slot.svs_context = \
+                            self.models.svs_context_graph(hotwords)
                 return sid
         raise EngineAtCapacity(
             f"engine at capacity ({self.capacity} streams)")
@@ -511,7 +523,12 @@ class StreamEngine:
         # zero the batched device state for this slot
         self._clear_device_slot(sid)
 
-    def _clear_device_slot(self, sid: int):
+    def _clear_p1_device(self, sid: int):
+        """Zero one slot's pass-1 device columns (online model caches +
+        mel history). Used on slot reclaim AND on ring-overrun quarantine
+        — after the host backlog is dropped the device caches no longer
+        correspond to any staged audio, so the next utterance must start
+        from a clean encoder/decoder state."""
         z1 = paraformer_online.init_state(self.oparams, self.ocfg, 1)
         s = self.online_state
         self.online_state = paraformer_online.OnlineState(
@@ -521,12 +538,15 @@ class StreamEngine:
             cif_frame=s.cif_frame.at[sid].set(z1.cif_frame[0]),
             dec_caches=s.dec_caches.at[:, sid].set(z1.dec_caches[:, 0]),
         )
+        self._p1_hist = self._p1_hist.at[sid].set(0.0)
+
+    def _clear_device_slot(self, sid: int):
+        self._clear_p1_device(sid)
         self.vad_caches = [c.at[sid].set(0.0) for c in self.vad_caches]
         self._vad_hist = self._vad_hist.at[sid].set(0.0)
         self._vad_total[sid] = 0
         self._vad_next[sid] = 0
         self._abs_fed[sid] = 0
-        self._p1_hist = self._p1_hist.at[sid].set(0.0)
         # audio-ring contents are gated by the slot's (reset) absolute
         # counters — stale samples are never gathered
         # pending-ring contents are gated by the slot's (reset) host
@@ -739,24 +759,34 @@ class StreamEngine:
             ctx = self._vd_queue.get()
             if ctx is None:
                 return
+            settled: list = []
             try:
-                self._vad_decide(ctx, counted=True)
+                self._vad_decide(ctx, counted=True, settled=settled)
             except Exception:  # pragma: no cover - keep the lane alive
                 import logging
 
                 logging.getLogger("asr2pass.engine").exception(
                     "vad-decide lane failure")
+                # decrement ONLY the work items _vad_decide had not
+                # already settled (the replaced-slot path and the publish
+                # loop each decrement as they go; decrementing them again
+                # drives vd_inflight negative and open()'s reclaim gate
+                # never passes — a permanent slot leak)
+                done = {id(s) for s in settled}
                 with self._results_lock:
                     for _, slot, _, _, _ in ctx[1]:
-                        slot.vd_inflight -= 1
+                        if id(slot) not in done:
+                            slot.vd_inflight -= 1
             finally:
                 with self._results_lock:
                     self._vd_outstanding -= 1
 
-    def _vad_decide(self, ctx, counted: bool = False):
+    def _vad_decide(self, ctx, counted: bool = False, settled=None):
         from asr2pass_tpu.runtime.metrics import GLOBAL as METRICS
         if ctx is None:
             return
+        if settled is None:
+            settled = []
         probs, work = ctx
         m = self.models
         with METRICS.stage("vd_probs_fetch"):
@@ -773,6 +803,7 @@ class StreamEngine:
                 if counted:
                     with self._results_lock:
                         slot.vd_inflight -= 1
+                    settled.append(slot)
                 continue
             # probs here is the device-summed sil posterior [nf]; the slot
             # automaton was built with default sil_pdf_ids=(0,), so a
@@ -829,6 +860,7 @@ class StreamEngine:
             with self._results_lock:
                 for slot, _, _ in publishes:
                     slot.vd_inflight -= 1
+                    settled.append(slot)
         METRICS.stages["vd_automaton"].add(time.perf_counter() - _t_sm)
 
     def _asr_step(self, defer: bool = False):
@@ -900,6 +932,13 @@ class StreamEngine:
                         slot.p1_win = 0
                         slot.p1_flush_at = None
                         slot.p1_ring_r = slot.p1_ring_w
+                        # the device columns (online caches, mel history)
+                        # and the streaming detok no longer correspond to
+                        # any staged audio — zero them so the NEXT
+                        # utterance decodes from clean state instead of a
+                        # stale encoder/detok carry
+                        self._clear_p1_device(sid)
+                        slot.vocab.reset_streaming()
                         win_start[sid] = 0
                         total_new[sid] = 0
                         ring_woff[sid] = slot.p1_ring_w % ring_n
@@ -1160,10 +1199,12 @@ class StreamEngine:
         slots = [slot for _, slot, _ in pairs]
         segs = [fr.data for _, _, fr in pairs]
         if isinstance(self.offline.asr, SenseVoiceOffline):
-            # SenseVoice pass-2: per-item lang/itn prefix ids
+            # SenseVoice pass-2: per-item lang/itn prefix ids + hotword
+            # context graphs (per-connection bias, compiled at open())
             outs = self.offline.asr.recognize_batch(
                 segs, langs=[s.svs_lang for s in slots],
-                itn_flags=[s.svs_itn for s in slots])
+                itn_flags=[s.svs_itn for s in slots],
+                contexts=[s.svs_context for s in slots])
         else:
             kw = {}
             if any(s.hw_emb is not None for s in slots):

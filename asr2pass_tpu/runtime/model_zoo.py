@@ -139,3 +139,109 @@ def load_offline_bundle(path: str) -> OfflineBundle:
     if os.path.exists(mvn_path):
         cmvn = parse_kaldi_cmvn(mvn_path)
     return OfflineBundle(params=params, cfg=cfg, vocab=vocab, cmvn=cmvn)
+
+
+# -- SenseVoice (svs) bundle ------------------------------------------------
+
+@dataclass
+class SvsBundle:
+    params: Any
+    cfg: cfg_mod.SenseVoiceConfig
+    vocab: Vocab
+    cmvn: Tuple[Optional[np.ndarray], Optional[np.ndarray]]
+
+
+def save_svs_bundle(path: str, params, cfg: cfg_mod.SenseVoiceConfig,
+                    tokens, cmvn=None):
+    """SenseVoice model dir: same weights.npz/tokens.json/am.mvn layout,
+    with the encoder/meta-token fields of SenseVoiceConfig in config.yaml
+    (the reference's MODEL_SVS dir, sensevoice-small.cpp:497-560)."""
+    import yaml
+
+    os.makedirs(path, exist_ok=True)
+    save_params(os.path.join(path, "weights.npz"), params)
+    with open(os.path.join(path, "tokens.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(list(tokens), f, ensure_ascii=False)
+    with open(os.path.join(path, "config.yaml"), "w") as f:
+        f.write(yaml.safe_dump({
+            "model": "SenseVoiceSmall",
+            "frontend_conf": {
+                "fs": cfg.frontend.fs,
+                "window": cfg.frontend.window,
+                "n_mels": cfg.frontend.n_mels,
+                "frame_length": cfg.frontend.frame_length_ms,
+                "frame_shift": cfg.frontend.frame_shift_ms,
+                "lfr_m": cfg.frontend.lfr_m,
+                "lfr_n": cfg.frontend.lfr_n,
+            },
+            "encoder_conf": {
+                "output_size": cfg.encoder.output_size,
+                "num_blocks": cfg.encoder.num_blocks,
+                "attention_heads": cfg.encoder.attention_heads,
+                "linear_units": cfg.encoder.linear_units,
+                "kernel_size": cfg.encoder.kernel_size,
+            },
+            "vocab_size": cfg.vocab_size,
+            "blank_id": cfg.blank_id,
+            "lid_pairs": [list(p) for p in cfg.lid_pairs],
+            "textnorm_pairs": [list(p) for p in cfg.textnorm_pairs],
+            "lang": cfg.lang,
+        }))
+    if cmvn is not None and cmvn[0] is not None:
+        from asr2pass_tpu.frontend.audio import write_kaldi_cmvn
+
+        write_kaldi_cmvn(os.path.join(path, "am.mvn"), cmvn[0], cmvn[1])
+
+
+def load_svs_yaml(path: str) -> cfg_mod.SenseVoiceConfig:
+    import yaml
+
+    with open(path) as f:
+        node = yaml.safe_load(f) or {}
+    fe = node.get("frontend_conf", {})
+    frontend = cfg_mod.FrontendConfig(
+        fs=fe.get("fs", 16000), window=fe.get("window", "hamming"),
+        n_mels=fe.get("n_mels", 80),
+        frame_length_ms=fe.get("frame_length", 25),
+        frame_shift_ms=fe.get("frame_shift", 10),
+        lfr_m=fe.get("lfr_m", 7), lfr_n=fe.get("lfr_n", 6))
+    enc = node.get("encoder_conf", {})
+    encoder = cfg_mod.EncoderConfig(
+        input_size=frontend.n_mels * frontend.lfr_m,
+        output_size=enc.get("output_size", 512),
+        num_blocks=enc.get("num_blocks", 50),
+        attention_heads=enc.get("attention_heads", 4),
+        linear_units=enc.get("linear_units", 2048),
+        kernel_size=enc.get("kernel_size", 11))
+    kw = {}
+    if node.get("lid_pairs"):
+        kw["lid_pairs"] = tuple(tuple(p) for p in node["lid_pairs"])
+    if node.get("textnorm_pairs"):
+        kw["textnorm_pairs"] = tuple(tuple(p)
+                                     for p in node["textnorm_pairs"])
+    return cfg_mod.SenseVoiceConfig(
+        frontend=frontend, encoder=encoder,
+        vocab_size=node.get("vocab_size", 25055),
+        blank_id=node.get("blank_id", 0),
+        lang=node.get("lang", "zh"), **kw)
+
+
+def load_svs_bundle(path: str) -> SvsBundle:
+    cfg = load_svs_yaml(os.path.join(path, "config.yaml"))
+    params = load_params(os.path.join(path, "weights.npz"))
+    tok_path = os.path.join(path, "tokens.json")
+    with open(tok_path, encoding="utf-8") as f:
+        tokens = json.load(f)
+    if len(tokens) != cfg.vocab_size:
+        cfg = cfg_mod.SenseVoiceConfig(
+            frontend=cfg.frontend, encoder=cfg.encoder,
+            vocab_size=len(tokens), lid_pairs=cfg.lid_pairs,
+            textnorm_pairs=cfg.textnorm_pairs, blank_id=cfg.blank_id,
+            lang=cfg.lang)
+    vocab = Vocab(tokens, cfg.lang)
+    mvn_path = os.path.join(path, "am.mvn")
+    cmvn = (None, None)
+    if os.path.exists(mvn_path):
+        cmvn = parse_kaldi_cmvn(mvn_path)
+    return SvsBundle(params=params, cfg=cfg, vocab=vocab, cmvn=cmvn)

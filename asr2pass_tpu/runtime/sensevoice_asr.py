@@ -3,25 +3,35 @@
 Role of the SenseVoice paths in sensevoice-small.cpp: offline forward with
 language/textnorm meta ids (:596-642), greedy CTC (:323-377) or context-
 graph-boosted prefix beam search (:392-440). Exposes the same
-recognize/recognize_batch interface as ParaformerOffline so it drops into
-OfflineRecognizer and TwoPassSession as the pass-2 model.
+recognize/recognize_batch + dispatch_batch/finish_batch interface as
+ParaformerOffline so it drops into OfflineRecognizer, TwoPassSession and
+the engine's fused-fetch pass-2 lane.
+
+Serving economics (CLAUDE.md round-trip rules): the decode never fetches
+[B, T, V] logits. Greedy runs ON DEVICE (models/sensevoice.greedy_ids —
+only [B, U] ids cross the wire); beam mode fetches the device-pruned
+[B, T, k] candidate set (parallel/ctc_shard.py, tp-sharded when the CTC
+head is vocab-sharded) plus the log-probs of the context graph's unit ids,
+force-included so pruning can never hide a hotword from the bias.
 """
 from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from asr2pass_tpu.config import SenseVoiceConfig
 from asr2pass_tpu.decode.context_graph import ContextGraph
-from asr2pass_tpu.decode.ctc import ctc_greedy, ctc_prefix_beam_search
 from asr2pass_tpu.models import sensevoice
 from asr2pass_tpu.models.sensevoice import NUM_META
 from asr2pass_tpu.runtime.streaming_frontend import offline_frontend_batch
 from asr2pass_tpu.text.vocab import Vocab
 
 _BUCKETS = [64, 128, 256, 512, 1024]
+_MAX_BATCH = 16          # same device-batch cap as offline_asr._MAX_BATCH
+_KCAND = 64              # device first-prune width (beam mode)
 
 
 def _bucket(n: int) -> int:
@@ -29,6 +39,23 @@ def _bucket(n: int) -> int:
         if n <= b:
             return b
     return -(-n // _BUCKETS[-1]) * _BUCKETS[-1]
+
+
+def context_unit_ids(context: Optional[ContextGraph], token2id
+                     ) -> List[int]:
+    """Every vocab id reachable in a context graph's trie — the id set
+    force-included into the pruned beam's candidates."""
+    if context is None:
+        return []
+    ids, stack = set(), [context.root]
+    while stack:
+        node = stack.pop()
+        for tok, child in node.children.items():
+            tid = token2id.get(tok)
+            if tid is not None:
+                ids.add(int(tid))
+            stack.append(child)
+    return sorted(ids)
 
 
 class SenseVoiceOffline:
@@ -62,32 +89,31 @@ class SenseVoiceOffline:
               else self.cfg.textnorm_dict["woitn"])
         return (np.full(n, lid, np.int32), np.full(n, tn, np.int32))
 
-    def _decode(self, logits: np.ndarray, length: int) -> List[int]:
-        if self.beam > 1 or self.context is not None:
-            logp = logits[:length] - _logsumexp(logits[:length])
-            nbest = ctc_prefix_beam_search(
-                logp[NUM_META:], length - NUM_META,
-                beam=max(self.beam, 10), blank_id=self.cfg.blank_id,
-                context=self.context,
-                id_to_token=self.vocab.id2token,
-            )
-            return nbest[0][0] if nbest else []
-        ids, _ = ctc_greedy(logits, length, blank_id=self.cfg.blank_id,
-                            skip_first=NUM_META)
-        return ids
+    def _ctx_for(self, contexts, i) -> Optional[ContextGraph]:
+        if contexts is not None and contexts[i] is not None:
+            return contexts[i]
+        return self.context
 
-    def recognize_batch(self, segments: List[np.ndarray], hw_emb=None,
-                        langs: Optional[List[Optional[str]]] = None,
-                        itn_flags: Optional[List[Optional[bool]]] = None
-                        ) -> List[Tuple[str, list]]:
-        """langs[i]/itn_flags[i] override the recognizer-level svs_lang /
-        svs_itn per segment — the engine-batched path mixes connections
-        with different first-message configs in one batch (the lid/textnorm
-        prefix inputs, sensevoice-small.cpp:596-642)."""
+    def dispatch_batch(self, segments: List[np.ndarray], hw_emb=None,
+                       langs: Optional[List[Optional[str]]] = None,
+                       itn_flags: Optional[List[Optional[bool]]] = None,
+                       contexts: Optional[List] = None):
+        """Phase A: front-end + device DISPATCH only. Returns
+        (pending, handles); `handles` are the device arrays finish_batch
+        needs — the engine's fused tick batches their fetch with every
+        other fetch so the tunnel round-trip is paid once.
+
+        `hw_emb` is accepted for ParaformerOffline interface parity but
+        carries no meaning here: SenseVoice hotword biasing is the
+        context graph in the CTC beam (sensevoice-small.cpp:392-440),
+        not NN embeddings — callers pass `contexts` (per segment) or
+        construct the recognizer with `context=`.
+        """
         means, vars_ = self.cmvn
         feats = offline_frontend_batch(segments, self.cfg.frontend,
                                        means, vars_)
         results: List[Optional[Tuple[str, list]]] = [None] * len(feats)
+        metas: List[Optional[List[int]]] = [None] * len(feats)
         groups = {}
         for i, f in enumerate(feats):
             if f.shape[0] == 0:
@@ -96,9 +122,11 @@ class SenseVoiceOffline:
             groups.setdefault(_bucket(f.shape[0]), []).append(i)
         # batch dim rides power-of-2 buckets capped at 16 like the
         # Paraformer path (bounded XLA programs; offline_asr._MAX_BATCH)
-        chunks = [(bucket, idxs[j: j + 16])
+        chunks = [(bucket, idxs[j: j + _MAX_BATCH])
                   for bucket, idxs in groups.items()
-                  for j in range(0, len(idxs), 16)]
+                  for j in range(0, len(idxs), _MAX_BATCH)]
+        records = []
+        handles: list = []
         for bucket, idxs in chunks:
             bb = 1
             while bb < len(idxs):
@@ -123,64 +151,150 @@ class SenseVoiceOffline:
                 jnp.asarray(lens, jnp.int32), jnp.asarray(lid),
                 jnp.asarray(tn),
             )
-            if self.beam > 1 or self.context is not None:
-                # beam mode: the first-prune (per-frame candidate set)
-                # runs ON DEVICE — sharded over the tp mesh when the CTC
-                # head is vocab-sharded (candidates exchanged via
-                # pmax/psum/all_gather collectives,
-                # parallel/ctc_shard.py) — and only [T, k] candidates
-                # cross the wire instead of [T, V] logits
-                import jax as _jax
-
-                from asr2pass_tpu.decode.ctc import (
-                    ctc_prefix_beam_search_pruned,
-                )
+            ids, counts, meta = sensevoice.greedy_ids(
+                out, blank_id=self.cfg.blank_id)
+            hlist = [ids, counts, meta, out.lengths]
+            beam_items = [i for i in idxs
+                          if self.beam > 1
+                          or self._ctx_for(contexts, i) is not None]
+            hw_ids: List[int] = []
+            if beam_items:
+                # device first-prune (per-frame candidate set) — sharded
+                # over the tp mesh when the CTC head is vocab-sharded
+                # (candidates exchanged via pmax/psum/all_gather
+                # collectives, parallel/ctc_shard.py); only [T, k]
+                # candidates cross the wire instead of [T, V] logits
                 from asr2pass_tpu.parallel.ctc_shard import (
                     ctc_first_prune,
                     ctc_first_prune_sharded,
+                    ctc_gather_logp,
                 )
 
-                kcand = 64
                 v = out.logits.shape[-1]
                 if (self.tp_mesh is not None
                         and v % self.tp_mesh.shape["tp"] == 0):
                     cid, clp = ctc_first_prune_sharded(
-                        out.logits, self.tp_mesh, "tp", k=kcand)
+                        out.logits, self.tp_mesh, "tp", k=_KCAND)
                 else:
-                    cid, clp = ctc_first_prune(out.logits, k=kcand)
-                meta_dev = jnp.argmax(out.logits[:, :NUM_META], -1)
-                cid, clp, meta, lengths = _jax.device_get(
-                    (cid, clp, meta_dev, out.lengths))
-                for k, i in enumerate(idxs):
-                    ln = int(lengths[k])
-                    nbest = ctc_prefix_beam_search_pruned(
-                        np.asarray(cid[k, NUM_META:ln]),
-                        np.asarray(clp[k, NUM_META:ln], np.float32),
-                        ln - NUM_META, beam=max(self.beam, 10),
-                        blank_id=self.cfg.blank_id, context=self.context,
-                        id_to_token=self.vocab.id2token)
-                    ids = nbest[0][0] if nbest else []
-                    self.last_meta = [int(x) for x in meta[k]]
-                    results[i] = (self.vocab.to_string(ids), [])
-                continue
-            logits = np.asarray(out.logits)
-            lengths = np.asarray(out.lengths)
+                    cid, clp = ctc_first_prune(out.logits, k=_KCAND)
+                hlist.append(cid)
+                hlist.append(clp)
+                # force-include every context unit id so the top-k prune
+                # can never hide a hotword token from the bias (the
+                # reference biases the FULL-vocab beam,
+                # ctc-prefix-decoder.cpp:280-299)
+                uniq = set()
+                for i in beam_items:
+                    uniq.update(context_unit_ids(
+                        self._ctx_for(contexts, i), self.vocab.token2id))
+                hw_ids = sorted(uniq)
+                if hw_ids:
+                    # pad to a power of two: one compiled gather program
+                    # per (bucket, padded-E) instead of per hotword list
+                    e = 1
+                    while e < len(hw_ids):
+                        e *= 2
+                    padded = hw_ids + [hw_ids[0]] * (e - len(hw_ids))
+                    hlist.append(ctc_gather_logp(
+                        out.logits, jnp.asarray(padded, jnp.int32)))
+            records.append({"idxs": idxs, "beam": bool(beam_items),
+                            "hw_ids": hw_ids, "off": len(handles),
+                            "n": len(hlist)})
+            handles.extend(hlist)
+        pending = {"records": records, "results": results, "metas": metas,
+                   "contexts": contexts}
+        return pending, handles
+
+    def finish_batch(self, pending, fetched, with_meta: bool = False):
+        """Phase B: host decode over the FETCHED (numpy) arrays — greedy
+        straight from the device-collapsed ids; beam items run the pruned
+        prefix beam with their context graph."""
+        results = pending["results"]
+        metas = pending["metas"]
+        contexts = pending["contexts"]
+        for rec in pending["records"]:
+            idxs = rec["idxs"]
+            vals = list(fetched[rec["off"]: rec["off"] + rec["n"]])
+            ids = np.asarray(vals.pop(0))
+            counts = np.asarray(vals.pop(0))
+            meta = np.asarray(vals.pop(0))
+            lengths = np.asarray(vals.pop(0))
+            cid = clp = hw_lp = None
+            if rec["beam"]:
+                cid = np.asarray(vals.pop(0))
+                clp = np.asarray(vals.pop(0), np.float32)
+                if rec["hw_ids"]:
+                    hw_lp = np.asarray(vals.pop(0), np.float32)
             for k, i in enumerate(idxs):
-                ids = self._decode(logits[k], int(lengths[k]))
-                text = self.vocab.to_string(ids)
+                ctx = self._ctx_for(contexts, i)
+                if self.beam > 1 or ctx is not None:
+                    from asr2pass_tpu.decode.ctc import (
+                        ctc_prefix_beam_search_pruned,
+                    )
+
+                    ln = int(lengths[k])
+                    fid = np.asarray(cid[k, NUM_META:ln])
+                    flp = np.asarray(clp[k, NUM_META:ln])
+                    if rec["hw_ids"]:
+                        fid, flp = _merge_candidates(
+                            fid, flp, rec["hw_ids"],
+                            hw_lp[k, NUM_META:ln])
+                    nbest = ctc_prefix_beam_search_pruned(
+                        fid, flp, ln - NUM_META,
+                        beam=max(self.beam, 10),
+                        blank_id=self.cfg.blank_id, context=ctx,
+                        id_to_token=self.vocab.id2token)
+                    tok_ids = nbest[0][0] if nbest else []
+                else:
+                    tok_ids = [int(x) for x in ids[k, : int(counts[k])]]
                 # first NUM_META positions predict lang/emotion/event/
                 # textnorm (the meta tokens CTCSearch strips,
-                # sensevoice-small.cpp:323-377)
-                self.last_meta = [int(x) for x in
-                                  np.argmax(logits[k, :NUM_META], -1)]
-                results[i] = (text, [])
-        return [r if r is not None else ("", []) for r in results]
+                # sensevoice-small.cpp:323-377) — returned per segment,
+                # never stashed on the (shared) recognizer
+                metas[i] = [int(x) for x in meta[k]]
+                results[i] = (self.vocab.to_string(tok_ids), [])
+        out = [r if r is not None else ("", []) for r in results]
+        if with_meta:
+            return [(t, s, m) for (t, s), m in zip(out, metas)]
+        return out
+
+    def recognize_batch(self, segments: List[np.ndarray], hw_emb=None,
+                        langs: Optional[List[Optional[str]]] = None,
+                        itn_flags: Optional[List[Optional[bool]]] = None,
+                        contexts: Optional[List] = None,
+                        with_meta: bool = False
+                        ) -> List[Tuple[str, list]]:
+        """langs[i]/itn_flags[i]/contexts[i] override the recognizer-level
+        svs_lang / svs_itn / context per segment — the engine-batched path
+        mixes connections with different first-message configs in one
+        batch (the lid/textnorm prefix inputs,
+        sensevoice-small.cpp:596-642). with_meta=True appends each
+        segment's [lid, emotion, event, textnorm] argmax ids to the
+        result tuples."""
+        pending, handles = self.dispatch_batch(
+            segments, hw_emb=hw_emb, langs=langs, itn_flags=itn_flags,
+            contexts=contexts)
+        fetched = jax.device_get(tuple(handles)) if handles else ()
+        return self.finish_batch(pending, fetched, with_meta=with_meta)
 
     def recognize(self, samples: np.ndarray, hw_emb=None
                   ) -> Tuple[str, list]:
         return self.recognize_batch([samples], hw_emb)[0]
 
 
-def _logsumexp(x: np.ndarray) -> np.ndarray:
-    m = x.max(axis=-1, keepdims=True)
-    return m + np.log(np.exp(x - m).sum(axis=-1, keepdims=True))
+def _merge_candidates(cid: np.ndarray, clp: np.ndarray,
+                      hw_ids: List[int], hw_lp: np.ndarray
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Append the context unit ids (+ their true logp) to each frame's
+    pruned candidate set, masking entries the top-k already holds so the
+    prefix beam never double-counts a token's probability mass."""
+    t, k = cid.shape
+    e = len(hw_ids)
+    ids_arr = np.asarray(hw_ids, np.int32)
+    out_ids = np.concatenate(
+        [cid, np.broadcast_to(ids_arr, (t, e)).copy()], axis=1)
+    extra = hw_lp[:, :e].copy()
+    dup = (cid[:, :, None] == ids_arr[None, None, :]).any(axis=1)
+    extra[dup] = -1e30    # dropped by the beam's low-prob gate
+    out_lp = np.concatenate([clp, extra], axis=1)
+    return out_ids, out_lp

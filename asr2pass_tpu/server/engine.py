@@ -53,6 +53,12 @@ class ServerModels:
     svs_cfg: Any = None
     svs_vocab: Any = None
     svs_cmvn: Any = None
+    # SVS decode mode: beam > 1 switches every SVS decode to the pruned
+    # CTC prefix beam; hotworded connections get a context-graph-biased
+    # beam regardless (greedy has no bias hook — the reference's split
+    # between CTCSearch and CtcPrefixBeamSearch,
+    # sensevoice-small.cpp:323-440)
+    svs_beam: int = 0
     # optional n-gram LM rescoring (TLG role): either lm+lexicon (trie
     # decoder) or tlg_dir (a compiled TLG.fst graph dir, the reference's
     # artifact layout — FunASRWfstDecoderInit, funasrruntime.cpp:836-894)
@@ -121,6 +127,19 @@ class ServerModels:
             self.hotword_params, self.hotword_cfg, list(hotwords.keys()),
             self.vocab,
         )
+
+    def svs_context_graph(self, hotwords: Optional[dict]):
+        """Hotword dict -> ContextGraph for SenseVoice CTC-beam biasing.
+        The reference attaches hotwords to SVS through the context graph
+        inside CtcPrefixBeamSearch (sensevoice-small.cpp:392-440), not
+        through NN embeddings — so SVS connections compile their hotwords
+        into a trie instead of CompileHotwordEmbedding."""
+        if not hotwords:
+            return None
+        from asr2pass_tpu.decode.context_graph import ContextGraph
+
+        return ContextGraph().build(
+            {str(w): float(s) for w, s in hotwords.items()})
 
     def _make_lm_decoder(self, hotwords: Optional[dict] = None):
         if self.tlg_dir is not None:
@@ -195,6 +214,8 @@ class ServerModels:
                     self._tp_params("svs", self.svs_params), self.svs_cfg,
                     self.svs_vocab or self.vocab, cmvn=self.svs_cmvn,
                     lang=svs_lang, use_itn_token=svs_itn,
+                    context=self.svs_context_graph(hotwords),
+                    beam=self.svs_beam,
                     tp_mesh=self.tp_mesh,
                 )
             else:
@@ -228,6 +249,8 @@ class ServerModels:
                 self._tp_params("svs", self.svs_params), self.svs_cfg,
                 self.svs_vocab or self.vocab,
                 cmvn=self.svs_cmvn, lang=svs_lang, use_itn_token=svs_itn,
+                context=self.svs_context_graph(hotwords),
+                beam=self.svs_beam,
                 tp_mesh=self.tp_mesh,
             )
         else:
@@ -254,9 +277,23 @@ class ServerModels:
                                   max_cached: int = 32
                                   ) -> OfflineRecognizer:
         """Per-request offline recognizer, cached by its option tuple —
-        the server must NOT rebuild recognizers (and with them LM/TLG
-        decoder state) on every offline upload. LRU-bounded so a hostile
-        stream of unique hotword sets cannot grow memory unboundedly."""
+        the server must NOT rebuild recognizers on every offline upload.
+        LRU-bounded so a hostile stream of unique hotword sets cannot grow
+        memory unboundedly.
+
+        Stateful-decoder exclusion: a TlgDecoder / Python LmDecoder
+        carries per-utterance beam state on the instance
+        (start_utterance/accept_rows), so with decode_workers > 1 two
+        concurrent uploads sharing one cached recognizer would interleave
+        that state and corrupt both transcripts. Those configurations
+        construct per request — cheap, because every expensive resource
+        underneath (TLG graph, LM tables, tp-sharded params) is already
+        cached once on ServerModels."""
+        if self.tlg_dir is not None or self.lm is not None:
+            return self.create_offline_recognizer(
+                vad_tail_sil=vad_tail_sil, vad_max_len=vad_max_len,
+                use_svs=use_svs, svs_lang=svs_lang, svs_itn=svs_itn,
+                hotwords=hotwords)
         key = (vad_tail_sil, vad_max_len, use_svs, svs_lang, svs_itn,
                tuple(sorted(hotwords.items())) if hotwords else None)
         with self._res_lock:

@@ -70,6 +70,58 @@ def bench_online(args):
     return result
 
 
+def bench_svs(args):
+    """SenseVoice-small offline (pass-2 alternative) throughput: batched
+    60 s segments through the 50-block d=512 encoder + CTC head at
+    production vocab (25055), bf16, with the ON-DEVICE greedy decode —
+    only [B, U] token ids cross the wire (VERDICT r4 item 1a)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from asr2pass_tpu.config import sensevoice_small
+    from asr2pass_tpu.models import sensevoice
+    from asr2pass_tpu.utils import cast_floats
+
+    cfg = sensevoice_small()
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    t = int(args.seconds * 1000 / (cfg.frontend.frame_shift_ms
+                                   * cfg.frontend.lfr_n))
+    b = args.batch
+    dev_init = jax.jit(lambda k: cast_floats(sensevoice.init(k, cfg), dtype))
+    params = dev_init(jax.random.PRNGKey(0))
+    jax.block_until_ready(jax.tree.leaves(params)[0])
+
+    @jax.jit
+    def forward(params, feats, lengths, lid, tn):
+        out = sensevoice.apply(params, cfg, feats, lengths, lid, tn)
+        return sensevoice.greedy_ids(out, blank_id=cfg.blank_id)
+
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(
+        rng.standard_normal((b, t, cfg.frontend.lfr_dim)).astype(np.float32),
+        dtype=dtype)
+    lengths = jnp.full((b,), t, jnp.int32)
+    lid = jnp.full((b,), 3, jnp.int32)
+    tn = jnp.full((b,), 14, jnp.int32)
+    ids, counts, meta = forward(params, feats, lengths, lid, tn)
+    np.asarray(counts)
+    start = time.perf_counter()
+    for _ in range(args.iters):
+        ids, counts, meta = forward(params, feats, lengths, lid, tn)
+    np.asarray(counts)
+    elapsed = time.perf_counter() - start
+    value = b * args.seconds * args.iters / elapsed
+    result = {
+        "metric": "svs_offline_audio_seconds_per_second_per_chip",
+        "value": round(value, 1),
+        "unit": "audio_s/s",
+        "vs_baseline": round(value / 50.0, 2),
+    }
+    print(json.dumps(result))
+    return result
+
+
 def bench_engine(args):
     """End-to-end 2pass serving: `--streams` concurrent streams through the
     StreamEngine — batched FSMN-VAD NN + host VAD automaton + splitter +
@@ -100,6 +152,19 @@ def bench_engine(args):
         vad_params=fsmn_vad.init(jax.random.PRNGKey(2), VadConfig()),
         vad_cfg=VadConfig(),
     )
+    if args.svs:
+        # SenseVoice pass-2 at production geometry (the reference's
+        # MODEL_SVS serving config) — the engine's pooled pass-2 lane
+        # decodes through the on-device greedy path
+        from asr2pass_tpu.config import sensevoice_small
+        from asr2pass_tpu.models import sensevoice
+
+        scfg = sensevoice_small()
+        init_s = jax.jit(
+            lambda k: cast_floats(sensevoice.init(k, scfg), dtype))
+        models.svs_params = init_s(jax.random.PRNGKey(3))
+        models.svs_cfg = scfg
+        models.svs_vocab = make_test_vocab(scfg.vocab_size)
     s = args.streams
     eng = StreamEngine(models, capacity=s, pass2_async=args.pass2_async,
                        vad_async=args.vad_async,
@@ -205,6 +270,7 @@ def bench_engine(args):
         "fused_fetch": bool(args.fused_fetch),
         "adversarial": bool(args.adversarial),
         "wav_replay": bool(args.wav_dir),
+        "svs": bool(args.svs),
     }
     print(json.dumps(result))
     return result
@@ -281,9 +347,11 @@ def bench_all(args):
         runs.append(r)
 
     run("offline_b16_60s", bench_offline)
+    run("svs_offline_b16_60s", bench_svs)
     run("online_pass1", bench_online)
     run("latency_p50", bench_latency)
     run("engine_default", bench_engine)
+    run("engine_svs", bench_engine, svs=True)
     run("engine_adversarial", bench_engine, adversarial=True)
     # capacity sweep: where is the knee? (VERDICT r3 item 4/6)
     for cap in (64, 256):
@@ -302,9 +370,12 @@ def bench_all(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["offline", "online", "latency",
-                                       "engine", "all"],
+    ap.add_argument("--mode", choices=["offline", "svs", "online",
+                                       "latency", "engine", "all"],
                     default="offline")
+    ap.add_argument("--svs", action="store_true",
+                    help="engine mode: SenseVoice-small pass-2 instead of "
+                         "the offline Paraformer (MODEL_SVS serving)")
     ap.add_argument("--bench-out", default="bench_results.jsonl",
                     help="--mode all: append one JSON line per mode here")
     ap.add_argument("--batch", type=int, default=16)
@@ -361,6 +432,9 @@ def main():
 
     if args.mode == "all":
         return bench_all(args)
+    if args.mode == "svs":
+        bench_svs(args)
+        return 0
     if args.mode == "online":
         bench_online(args)
         return 0

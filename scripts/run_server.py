@@ -23,6 +23,15 @@ def main():
     p.add_argument("--online-model-dir", help="streaming model directory")
     p.add_argument("--vad-dir", help="VAD model directory")
     p.add_argument("--punc-dir", help="punctuation model directory")
+    p.add_argument("--svs-dir",
+                   help="SenseVoice-small model dir (pass-2 alternative; "
+                        "the reference's MODEL_SVS role). When set, 2pass "
+                        "finals and offline uploads decode through "
+                        "SenseVoice instead of the offline Paraformer")
+    p.add_argument("--svs-beam", type=int, default=0,
+                   help="SenseVoice CTC prefix-beam width (0/1 = greedy; "
+                        "hotworded connections always get the context-"
+                        "biased beam, sensevoice-small.cpp:392-440)")
     p.add_argument("--lm-dir", help="n-gram LM dir: either a compiled "
                                     "TLG graph (TLG.fst + words.txt + "
                                     "tokens.txt, the reference artifact "
@@ -159,6 +168,15 @@ def main():
                 os.path.join(args.punc_dir, "weights.npz"))
             models.punc_tokenizer = PuncTokenizer.from_file(
                 os.path.join(args.punc_dir, "tokens.json"))
+    if getattr(args, "svs_dir", None):
+        from asr2pass_tpu.runtime.model_zoo import load_svs_bundle
+
+        sb = load_svs_bundle(args.svs_dir)
+        models.svs_params = sb.params
+        models.svs_cfg = sb.cfg
+        models.svs_vocab = sb.vocab
+        models.svs_cmvn = sb.cmvn
+    models.svs_beam = args.svs_beam
     if getattr(args, "lm_dir", None):
         if os.path.exists(os.path.join(args.lm_dir, "TLG.fst")):
             # compiled decoding-graph artifacts (reference layout)

@@ -585,3 +585,50 @@ def _drive_session_basic(session, wave, step_ms=600):
         if res.final_text:
             out.append({"mode": "2pass-offline", "text": res.final_text})
     return out
+
+
+def test_engine_svs_hotword_context_per_slot(models):
+    """Engine-batched SVS pass-2: a hotworded slot decodes through the
+    context-biased beam while an un-hotworded slot in the SAME batch
+    stays greedy (per-item contexts through recognize_batch)."""
+    import dataclasses
+
+    from asr2pass_tpu.config import sensevoice_tiny
+    from asr2pass_tpu.models import sensevoice
+
+    scfg = sensevoice_tiny()
+    svocab = make_test_vocab(scfg.vocab_size)
+    m = dataclasses.replace(
+        models, svs_params=sensevoice.init(jax.random.PRNGKey(7), scfg),
+        svs_cfg=scfg, svs_vocab=svocab)
+    hot = svocab.id2token(7) + svocab.id2token(8)
+
+    def text_of(res):
+        return "".join(r["text"] for r in res if r["mode"] == "2pass-offline")
+
+    w = _wave(5)
+    plain_eng = StreamEngine(m, capacity=2)
+    sid = plain_eng.open()
+    plain = text_of(_drive(plain_eng, sid, w))
+
+    eng = StreamEngine(m, capacity=2)
+    a = eng.open(hotwords={hot: 90})
+    b = eng.open()
+    assert eng.slots[a].svs_context is not None
+    assert eng.slots[b].svs_context is None
+    ra, rb = [], []
+    step = int(16000 * 0.6)
+    for off in range(0, len(w), step):
+        fin = off + step >= len(w)
+        eng.feed(a, w[off: off + step], is_final=fin)
+        eng.feed(b, w[off: off + step], is_final=fin)
+        eng.step()
+        ra.extend(eng.poll(a))
+        rb.extend(eng.poll(b))
+    for _ in range(3):
+        eng.step()
+        ra.extend(eng.poll(a))
+        rb.extend(eng.poll(b))
+    assert text_of(rb) == plain          # un-hotworded slot unchanged
+    assert text_of(ra) != plain          # bias changed the hotworded slot
+    assert hot in text_of(ra)

@@ -122,3 +122,40 @@ def test_convert_funasr_state_dict_runs_forward():
                            jnp.asarray([20]))
     assert out.logits.shape[-1] == 40
     assert int(out.token_num[0]) >= 0
+
+
+def test_svs_bundle_roundtrip(tmp_path):
+    """save_svs_bundle/load_svs_bundle preserve config + weights + vocab
+    (the --svs-dir server flag loads this layout)."""
+    import jax
+    import numpy as np
+
+    from asr2pass_tpu.config import sensevoice_tiny
+    from asr2pass_tpu.models import sensevoice
+    from asr2pass_tpu.runtime.model_zoo import (load_svs_bundle,
+                                                save_svs_bundle)
+    from asr2pass_tpu.text.vocab import make_test_vocab
+
+    cfg = sensevoice_tiny()
+    params = sensevoice.init(jax.random.PRNGKey(0), cfg)
+    vocab = make_test_vocab(cfg.vocab_size)
+    d = str(tmp_path / "svs")
+    save_svs_bundle(d, params, cfg, vocab.tokens,
+                    cmvn=(np.zeros(cfg.frontend.lfr_dim, np.float32),
+                          np.ones(cfg.frontend.lfr_dim, np.float32)))
+    b = load_svs_bundle(d)
+    assert b.cfg.vocab_size == cfg.vocab_size
+    assert b.cfg.encoder.num_blocks == cfg.encoder.num_blocks
+    assert b.cfg.lid_dict == cfg.lid_dict
+    assert b.vocab.tokens == list(vocab.tokens)
+    assert b.cmvn[0] is not None
+    np.testing.assert_allclose(np.asarray(b.params["ctc"]["w"]),
+                               np.asarray(params["ctc"]["w"]), atol=0)
+    # the loaded bundle actually decodes
+    from asr2pass_tpu.runtime.sensevoice_asr import SenseVoiceOffline
+
+    rec = SenseVoiceOffline(b.params, b.cfg, b.vocab, cmvn=b.cmvn)
+    text, _ = rec.recognize(
+        (np.random.default_rng(0).standard_normal(8000) * 0.1
+         ).astype(np.float32))
+    assert isinstance(text, str)

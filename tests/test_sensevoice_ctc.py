@@ -196,12 +196,132 @@ def test_sensevoice_tp_sharded_beam_decode():
     wave = (rng.standard_normal(16000) * 0.1).astype(np.float32)
 
     ref = SenseVoiceOffline(params, cfg, vocab, lang="zh", beam=4)
-    want, _ = ref.recognize(wave)
-    ref_meta = list(ref.last_meta)
+    (want, _, ref_meta), = ref.recognize_batch([wave], with_meta=True)
 
     mesh = make_mesh(8, tp=8)        # vocab 64 % 8 == 0 -> sharded prune
     tp = SenseVoiceOffline(params, cfg, vocab, lang="zh", beam=4,
                            tp_mesh=mesh)
-    got, _ = tp.recognize(wave)
+    (got, _, tp_meta), = tp.recognize_batch([wave], with_meta=True)
     assert got == want
-    assert list(tp.last_meta) == ref_meta
+    assert tp_meta == ref_meta
+
+
+def test_device_greedy_collapse_semantics():
+    """models/sensevoice.greedy_ids collapses repeats, strips blanks and
+    the meta prefix, and masks past lengths — the CTCSearch semantics
+    (sensevoice-small.cpp:323-377) computed on device."""
+    from asr2pass_tpu.models.sensevoice import NUM_META, SenseVoiceOutput
+
+    v = 6
+    seq = [0, 1, 1, 0, 2, 2, 2, 3, 0, 3]
+    t = NUM_META + len(seq)
+    logits = np.full((2, t, v), -10.0, np.float32)
+    for row in range(2):
+        for j in range(NUM_META):
+            logits[row, j, 5] = 10.0          # meta-position argmax = 5
+        for j, s in enumerate(seq):
+            logits[row, NUM_META + j, s] = 10.0
+    # row 1 is shorter: frames past lengths[1] must be ignored
+    out = SenseVoiceOutput(logits=jnp.asarray(logits),
+                           lengths=jnp.asarray([t, NUM_META + 5]))
+    ids, counts, meta = sensevoice.greedy_ids(out, blank_id=0)
+    ids, counts, meta = np.asarray(ids), np.asarray(counts), np.asarray(meta)
+    assert [int(x) for x in ids[0, : counts[0]]] == [1, 2, 3, 3]
+    assert [int(x) for x in ids[1, : counts[1]]] == [1, 2]
+    assert meta.shape == (2, sensevoice.NUM_META)
+    assert (meta == 5).all()
+
+
+def test_device_greedy_matches_host_on_model_output():
+    """greedy_ids over a real model forward == ctc_greedy on the fetched
+    logits, for every row of a padded batch."""
+    cfg = sensevoice_tiny()
+    params = sensevoice.init(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(9)
+    feats = rng.standard_normal((3, 24, cfg.encoder.input_size)
+                                ).astype(np.float32)
+    lengths = jnp.asarray([24, 17, 9])
+    out = sensevoice.apply(params, cfg, jnp.asarray(feats), lengths,
+                           jnp.asarray([3, 4, 0]), jnp.asarray([14, 15, 14]))
+    ids, counts, meta = sensevoice.greedy_ids(out, blank_id=cfg.blank_id)
+    logits = np.asarray(out.logits)
+    lens = np.asarray(out.lengths)
+    for k in range(3):
+        want, _ = ctc_greedy(logits[k], int(lens[k]),
+                             blank_id=cfg.blank_id,
+                             skip_first=sensevoice.NUM_META)
+        n = int(np.asarray(counts)[k])
+        assert [int(x) for x in np.asarray(ids)[k, :n]] == want
+        assert list(np.asarray(meta)[k]) == \
+            list(np.argmax(logits[k, :sensevoice.NUM_META], -1))
+
+
+def test_pruned_beam_hotword_outside_topk():
+    """VERDICT r4 item 8: a hotword whose next unit falls OUTSIDE the
+    device top-k must still win — its unit ids are force-included into
+    the candidate set with their true log-probs (the reference biases the
+    FULL-vocab beam, ctc-prefix-decoder.cpp:280-299)."""
+    from asr2pass_tpu.decode.ctc import (
+        ctc_prefix_beam_search,
+        ctc_prefix_beam_search_pruned,
+    )
+    from asr2pass_tpu.parallel.ctc_shard import ctc_first_prune, \
+        ctc_gather_logp
+    from asr2pass_tpu.runtime.sensevoice_asr import (
+        _merge_candidates,
+        context_unit_ids,
+    )
+
+    vocab = make_test_vocab(64)
+    k = 8
+    # frame 0: token 4 dominant. frame 1: token 6 best; the hotword's
+    # second unit (token 5) is ranked ~12th — outside the k=8 prune.
+    logp = np.full((2, 64), -12.0, np.float32)
+    logp[0, 4] = -0.01
+    logp[1, 6] = -0.40
+    for j, tok in enumerate(range(20, 30)):    # 10 fillers above token 5
+        logp[1, tok] = -0.60 - 0.001 * j
+    logp[1, 5] = -0.80
+    hot = vocab.id2token(4) + vocab.id2token(5)
+    cg = ContextGraph(context_score=3.0).build({hot: None})
+
+    full = ctc_prefix_beam_search(logp, 2, beam=4, blank_id=0, context=cg,
+                                  id_to_token=vocab.id2token)
+    assert full[0][0] == [4, 5]          # reference behavior: bias wins
+
+    logits = jnp.asarray(logp)[None]
+    cid, clp = ctc_first_prune(logits, k=k)
+    cid, clp = np.asarray(cid)[0], np.asarray(clp)[0]
+    assert 5 not in cid[1]               # the prune really hid the unit
+    naked = ctc_prefix_beam_search_pruned(cid, clp, 2, beam=4, blank_id=0,
+                                          context=cg,
+                                          id_to_token=vocab.id2token)
+    assert naked[0][0] != [4, 5]         # the failure mode being fixed
+
+    hw_ids = context_unit_ids(cg, vocab.token2id)
+    assert 5 in hw_ids
+    hw_lp = np.asarray(ctc_gather_logp(
+        logits, jnp.asarray(hw_ids, jnp.int32)))[0]
+    mid, mlp = _merge_candidates(cid, clp, hw_ids, hw_lp)
+    merged = ctc_prefix_beam_search_pruned(mid, mlp, 2, beam=4, blank_id=0,
+                                           context=cg,
+                                           id_to_token=vocab.id2token)
+    assert merged[0][0] == [4, 5]    # force-include restores the win
+
+
+def test_recognizer_per_item_contexts():
+    """recognize_batch(contexts=...) biases ONLY the items that carry a
+    context graph (the engine batches differently-configured connections
+    together); greedy items ride the on-device ids."""
+    cfg = sensevoice_tiny()
+    params = sensevoice.init(jax.random.PRNGKey(0), cfg)
+    vocab = make_test_vocab(cfg.vocab_size)
+    rec = SenseVoiceOffline(params, cfg, vocab, lang="zh")
+    rng = np.random.default_rng(4)
+    wave = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    base, _ = rec.recognize(wave)
+    hot = vocab.id2token(7) + vocab.id2token(8)
+    cg = ContextGraph(context_score=90.0).build({hot: None})
+    outs = rec.recognize_batch([wave, wave], contexts=[cg, None])
+    assert outs[1][0] == base            # un-contexted item unchanged
+    assert outs[0][0] != base            # a strong bias changes the text

