@@ -329,6 +329,9 @@ CONVERTERS = {
     "online": convert_state_dict,   # same module tree; split session pair
     "vad": convert_vad_state_dict,
     "punc": convert_punc_state_dict,
+    # same weights as "punc"; --verify drives the 4-input VadRealtime
+    # session contract instead of the 2-input offline one
+    "punc_online": convert_punc_state_dict,
     "sensevoice": convert_sensevoice_state_dict,
 }
 
@@ -480,14 +483,137 @@ def verify_against_onnx(src: str, params, kind: str, tol: float = 1e-3,
                     - np.asarray(cj)).max()))
     elif kind == "online":
         diff = _verify_online_pair(src, g, params, rng)
+    elif kind == "sensevoice":
+        diff = _verify_sensevoice(src, g, params, rng)
+    elif kind == "punc_online":
+        diff = _verify_punc_online(src, g, params, rng)
     else:
         raise NotImplementedError(
-            f"--verify supports kinds asr/online/vad/punc (got {kind}); "
-            f"sensevoice graphs verify through tests/test_convert_parity.py")
+            f"--verify supports kinds asr/online/vad/punc/punc_online/"
+            f"sensevoice (got {kind})")
     if diff > tol:
         raise AssertionError(
             f"converted model disagrees with executed model.onnx: "
             f"max|diff|={diff:.2e} > {tol:g}")
+    return diff
+
+
+def _run_graph(ex, candidates: dict):
+    """Feed an OnnxExecutor by declared input name (torch's exporter
+    prunes unused inputs like the length tensors); falls back to
+    positional order when the export used other names."""
+    if all(n in candidates for n in ex.g.inputs):
+        return ex(*[candidates[n] for n in ex.g.inputs])
+    vals = list(candidates.values())
+    return ex(*vals[: len(ex.g.inputs)])
+
+
+def _yaml_heads(src: str, default: int) -> int:
+    cfg_path = os.path.join(src, "config.yaml")
+    if os.path.exists(cfg_path):
+        import yaml
+
+        with open(cfg_path) as f:
+            node = yaml.safe_load(f) or {}
+        return (node.get("encoder_conf") or {}).get("attention_heads",
+                                                    default)
+    return default
+
+
+def _verify_sensevoice(src: str, g, params, rng) -> float:
+    """Verify the converted SenseVoice against the EXECUTED 4-input graph
+    [speech, speech_lengths, language, textnorm] -> [ctc_logits] — the
+    session contract sensevoice-small.cpp:596-642 drives — then run the
+    reference host algorithm (CTCSearch meta-token strip + greedy
+    collapse, :323-377) over the executed graph's logits and assert the
+    on-device greedy decode (models/sensevoice.greedy_ids) produces the
+    same token ids."""
+    import jax
+    import jax.numpy as jnp
+
+    from asr2pass_tpu import config as cfg_mod
+    from asr2pass_tpu.decode.ctc import ctc_greedy
+    from asr2pass_tpu.models import sensevoice as svs_mod
+    from asr2pass_tpu.tools.onnx_reader import OnnxExecutor
+
+    d_in = params["lid_embed"].shape[1]
+    d_model = np.asarray(params["encoder"]["after_norm"]["g"]).shape[0]
+    n_rest = (0 if params["encoder"].get("rest") is None
+              else jax.tree.leaves(params["encoder"]["rest"])[0].shape[0])
+    cfg = cfg_mod.SenseVoiceConfig(
+        encoder=cfg_mod.EncoderConfig(
+            input_size=int(d_in), output_size=int(d_model),
+            num_blocks=int(n_rest) + 1,
+            attention_heads=int(_yaml_heads(src, 4))),
+        vocab_size=int(np.asarray(params["ctc"]["w"]).shape[1]))
+    t = 30
+    feats = (rng.standard_normal((1, t, d_in)) * 0.5).astype(np.float32)
+    lid_id, tn_id = cfg.lid_dict["zh"], cfg.textnorm_dict["withitn"]
+    onnx_out = _run_graph(OnnxExecutor(g), {
+        "speech": feats, "speech_lengths": np.asarray([t], np.int32),
+        "language": np.asarray([lid_id], np.int32),
+        "textnorm": np.asarray([tn_id], np.int32)})
+    onnx_logits = np.asarray(onnx_out[0] if isinstance(onnx_out, tuple)
+                             else onnx_out)
+    out = svs_mod.apply(params, cfg, jnp.asarray(feats),
+                        jnp.asarray([t], jnp.int32),
+                        jnp.asarray([lid_id], jnp.int32),
+                        jnp.asarray([tn_id], jnp.int32))
+    diff = float(np.abs(onnx_logits - np.asarray(out.logits)).max())
+    # reference host decode over the ORACLE's logits vs the device greedy
+    want, _ = ctc_greedy(onnx_logits[0], t + svs_mod.NUM_META,
+                         blank_id=cfg.blank_id,
+                         skip_first=svs_mod.NUM_META)
+    ids, counts, _ = svs_mod.greedy_ids(out, blank_id=cfg.blank_id)
+    got = [int(x) for x in
+           np.asarray(ids)[0, : int(np.asarray(counts)[0])]]
+    if got != want:
+        raise AssertionError(
+            f"device greedy decode disagrees with the executed graph's "
+            f"CTCSearch: {got} vs {want}")
+    return diff
+
+
+def _verify_punc_online(src: str, g, params, rng) -> float:
+    """Verify the converted punc model against the EXECUTED 4-input
+    VadRealtime session [inputs, text_lengths, vad_mask, sub_masks] ->
+    [logits] (ct-transformer-online.cpp:154-223), driving the reference
+    host algorithm: the [1,1,T,T] VadMask built from the text-cache size
+    is passed for BOTH mask inputs (the reference reuses the buffer), and
+    the per-token punctuation argmax must match."""
+    import jax.numpy as jnp
+
+    from asr2pass_tpu import config as cfg_mod
+    from asr2pass_tpu.models import ct_transformer
+    from asr2pass_tpu.tools.onnx_reader import OnnxExecutor
+
+    vocab, d_model = np.asarray(params["embed"]["table"]).shape
+    cfg = cfg_mod.PuncConfig(vocab_size=int(vocab), att_dim=int(d_model),
+                             attention_heads=int(_yaml_heads(src, 8)))
+    diff = 0.0
+    ex = OnnxExecutor(g)
+    # text length: honor a static traced shape (torch export constant-
+    # folds the posenc at the traced T); FunASR's real graphs are dynamic
+    shape = g.input_shapes.get(g.inputs[0]) or []
+    t0 = shape[1] if len(shape) == 2 and shape[1] else 24
+    for t, cache in ((t0, 9), (t0, 0)):     # mid-stream + fresh-cache
+        ids = rng.integers(0, vocab, size=(1, t)).astype(np.int32)
+        vm = ct_transformer.vad_mask(t, cache).astype(np.float32)
+        onnx_out = _run_graph(ex, {
+            "inputs": ids, "text_lengths": np.asarray([t], np.int32),
+            "vad_mask": vm[None, None], "sub_masks": vm[None, None]})
+        onnx_logits = np.asarray(onnx_out[0]
+                                 if isinstance(onnx_out, tuple)
+                                 else onnx_out)
+        jax_logits = np.asarray(ct_transformer.apply(
+            params, cfg, jnp.asarray(ids.astype(np.int64)),
+            att_mask=jnp.asarray(vm)))
+        diff = max(diff, float(np.abs(onnx_logits - jax_logits).max()))
+        if not (np.argmax(onnx_logits[0], -1)
+                == np.argmax(jax_logits[0], -1)).all():
+            raise AssertionError(
+                "punctuation argmax disagrees with the executed "
+                "VadRealtime graph")
     return diff
 
 

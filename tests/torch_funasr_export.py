@@ -370,6 +370,142 @@ class TorchParaformer(nn.Module):
         return logits, token_num
 
 
+class TorchSenseVoice(nn.Module):
+    """FunASR SenseVoiceSmall module tree (state-dict keys embed.weight,
+    encoder.encoders0.0..., encoder.encoders.N..., encoder.after_norm,
+    encoder.tp_encoders.N..., encoder.tp_norm, ctc.ctc_lo) with the
+    reference ONNX session I/O: [speech, speech_lengths, language,
+    textnorm] -> [ctc_logits] (sensevoice-small.cpp:596-642). The meta
+    prefix is [lid | query1 | query2 | tn] rows of the shared embed table
+    prepended to the LFR features before the encoder."""
+
+    def __init__(self, d_in, d_model, blocks, tp_blocks, heads, ffn, vocab,
+                 n_embed=16, kernel=11):
+        super().__init__()
+        self.embed = nn.Embedding(n_embed, d_in)
+        enc = nn.Module()
+        enc.encoders0 = nn.ModuleList(
+            [EncoderLayerSANM(d_in, d_model, heads, ffn, kernel)])
+        enc.encoders = nn.ModuleList(
+            [EncoderLayerSANM(d_model, d_model, heads, ffn, kernel)
+             for _ in range(blocks - 1)])
+        enc.after_norm = nn.LayerNorm(d_model)
+        enc.tp_encoders = nn.ModuleList(
+            [EncoderLayerSANM(d_model, d_model, heads, ffn, kernel)
+             for _ in range(tp_blocks)])
+        enc.tp_norm = nn.LayerNorm(d_model)
+        self.encoder = enc
+        ctc = nn.Module()
+        ctc.ctc_lo = nn.Linear(d_model, vocab)
+        self.ctc = ctc
+        self.d_model = d_model
+        self.pos = SinusoidalPosEnc()
+
+    def forward(self, speech, speech_lengths, language, textnorm):
+        b = speech.shape[0]
+        lid = self.embed(language).unsqueeze(1)            # [B, 1, D]
+        queries = self.embed.weight[1:3].unsqueeze(0).expand(b, -1, -1)
+        tn = self.embed(textnorm).unsqueeze(1)
+        x = torch.cat([lid, queries, tn, speech], dim=1)
+        x = x * self.d_model ** 0.5
+        x = self.pos(x)
+        for layer in self.encoder.encoders0:
+            x = layer(x)
+        for layer in self.encoder.encoders:
+            x = layer(x)
+        x = self.encoder.after_norm(x)
+        for layer in self.encoder.tp_encoders:
+            x = layer(x)
+        x = self.encoder.tp_norm(x)
+        return self.ctc.ctc_lo(x)
+
+
+class MultiHeadedAttentionSANMMasked(nn.Module):
+    """MultiHeadedAttentionSANM with an explicit [B, T, T] attention mask
+    (the VadMask x sub_masks product of the online punc session)."""
+
+    def __init__(self, n_head, in_feat, n_feat, kernel_size):
+        super().__init__()
+        self.h = n_head
+        self.d_k = n_feat // n_head
+        self.linear_q_k_v = nn.Linear(in_feat, 3 * n_feat)
+        self.linear_out = nn.Linear(n_feat, n_feat)
+        self.fsmn_block = nn.Conv1d(n_feat, n_feat, kernel_size, stride=1,
+                                    padding=0, groups=n_feat, bias=False)
+        left = (kernel_size - 1) // 2
+        self.pad_fn = nn.ConstantPad1d((left, kernel_size - 1 - left), 0.0)
+
+    def forward(self, x, att_mask):
+        b, t, _ = x.shape
+        qkv = self.linear_q_k_v(x)
+        q, k, v = torch.split(qkv, qkv.shape[-1] // 3, dim=-1)
+        mem = self.fsmn_block(self.pad_fn(v.transpose(1, 2))
+                              ).transpose(1, 2) + v
+        qh = q.view(b, t, self.h, self.d_k).transpose(1, 2)
+        kh = k.view(b, t, self.h, self.d_k).transpose(1, 2)
+        vh = v.view(b, t, self.h, self.d_k).transpose(1, 2)
+        scores = torch.matmul(qh * self.d_k ** -0.5, kh.transpose(-2, -1))
+        scores = scores.masked_fill(att_mask.unsqueeze(1) == 0, -1e30)
+        att = torch.softmax(scores, dim=-1)
+        ctx = torch.matmul(att, vh).transpose(1, 2).reshape(b, t, -1)
+        return self.linear_out(ctx) + mem
+
+
+class EncoderLayerSANMMasked(nn.Module):
+    """EncoderLayerSANM threading the attention mask; same state-dict
+    keys as the unmasked layer."""
+
+    def __init__(self, in_size, size, heads, ffn, kernel):
+        super().__init__()
+        self.in_size = in_size
+        self.size = size
+        self.norm1 = nn.LayerNorm(in_size)
+        self.self_attn = MultiHeadedAttentionSANMMasked(heads, in_size,
+                                                        size, kernel)
+        self.norm2 = nn.LayerNorm(size)
+        self.feed_forward = FeedForward(size, ffn)
+
+    def forward(self, x, att_mask):
+        h = self.self_attn(self.norm1(x), att_mask)
+        x = x + h if self.in_size == self.size else h
+        return x + self.feed_forward(self.norm2(x))
+
+
+class TorchCTTransformerVadRealtime(nn.Module):
+    """FunASR CT-Transformer VadRealtime (online punc) module tree —
+    state-dict keys identical to TorchCTTransformer — with the 4-input
+    session I/O the reference drives: [inputs, text_lengths, vad_mask
+    [1,1,T,T], sub_masks [1,1,T,T]] -> [logits]
+    (ct-transformer-online.cpp:154-223; the host passes the SAME VadMask
+    buffer for both mask inputs)."""
+
+    def __init__(self, vocab, d_model, blocks, heads, ffn, n_classes=6,
+                 kernel=11):
+        super().__init__()
+        self.embed = nn.Embedding(vocab, d_model)
+        enc = nn.Module()
+        enc.encoders0 = nn.ModuleList(
+            [EncoderLayerSANMMasked(d_model, d_model, heads, ffn, kernel)])
+        enc.encoders = nn.ModuleList(
+            [EncoderLayerSANMMasked(d_model, d_model, heads, ffn, kernel)
+             for _ in range(blocks - 1)])
+        enc.after_norm = nn.LayerNorm(d_model)
+        self.encoder = enc
+        self.decoder = nn.Linear(d_model, n_classes)
+        self.d_model = d_model
+        self.pos = SinusoidalPosEnc()
+
+    def forward(self, inputs, text_lengths, vad_mask, sub_masks):
+        m = (vad_mask * sub_masks).squeeze(1)              # [B, T, T]
+        x = self.embed(inputs) * self.d_model ** 0.5
+        x = self.pos(x)
+        for layer in self.encoder.encoders0:
+            x = layer(x, m)
+        for layer in self.encoder.encoders:
+            x = layer(x, m)
+        return self.decoder(self.encoder.after_norm(x))
+
+
 class TorchCTTransformer(nn.Module):
     """FunASR CTTransformer punc model: embed -> SANMEncoder -> linear
     'decoder' head (the punc ONNX contract, ct-transformer.cpp:162-204)."""
