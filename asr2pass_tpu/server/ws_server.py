@@ -35,20 +35,40 @@ log = logging.getLogger("asr2pass.server")
 
 def _parse_hotwords(msg) -> dict:
     """Accept dict / json string / 'w1 w2' space form
-    (websocket-server-2pass.cpp:424-473)."""
+    (websocket-server-2pass.cpp:424-473). Defensive like the reference:
+    a malformed score (e.g. {"word": "high"}) falls back to the default
+    weight 20 instead of killing the connection."""
+    def score(v):
+        try:
+            return int(v)
+        except (TypeError, ValueError):
+            return 20
+
     if not msg:
         return {}
     if isinstance(msg, dict):
-        return {str(k): int(v) for k, v in msg.items()}
+        return {str(k): score(v) for k, v in msg.items()}
     try:
         d = json.loads(msg)
         if isinstance(d, dict):
-            return {str(k): int(v) for k, v in d.items()}
+            return {str(k): score(v) for k, v in d.items()}
         if isinstance(d, list):
             return {str(w): 20 for w in d}
     except (json.JSONDecodeError, TypeError, ValueError):
         pass
     return {w: 20 for w in str(msg).split() if w}
+
+
+def _safe_int(v, default):
+    """First-message option coercion: a malformed value degrades to the
+    default (the reference's TCLAP/json parsing never aborts a
+    connection over an option type, websocket-server-2pass.cpp:413-523)."""
+    try:
+        if v is None:
+            return default
+        return int(v)
+    except (TypeError, ValueError):
+        return default
 
 
 class ConnectionState:
@@ -100,6 +120,12 @@ class AsrWsServer:
         self.max_message_bytes = max_message_bytes
         self.max_upload_bytes = max_upload_bytes
         self.executor = ThreadPoolExecutor(max_workers=decode_workers)
+        # engine mode: whole-file offline decodes get their OWN executor,
+        # so a 256 MB upload can never head-of-line block the engine tick
+        # (and with it every live 2pass stream's partial cadence). The
+        # reference isolates the same way with its decoder thread pool
+        # (funasr-wss-server-2pass.cpp:531-538). Created in serve().
+        self._offline_executor = None
         self._server = None
         # batched serving: one StreamEngine shared by all connections,
         # ticked by a background task (the TPU-native replacement for the
@@ -173,16 +199,43 @@ class AsrWsServer:
                 return
             st.upload_rejected = None
             st.engine_refused = False
-            st.mode = obj.get("mode", st.mode)
-            st.wav_name = obj.get("wav_name", st.wav_name)
-            st.wav_format = obj.get("wav_format", st.wav_format)
-            st.audio_fs = int(obj.get("audio_fs", st.audio_fs))
+            bad = []
+            mode = obj.get("mode", st.mode)
+            if mode in ("2pass", "online", "offline"):
+                st.mode = mode
+            elif "mode" in obj:
+                bad.append("mode")
+            st.wav_name = str(obj.get("wav_name", st.wav_name))
+            st.wav_format = str(obj.get("wav_format", st.wav_format))
+            if "audio_fs" in obj:
+                try:
+                    fs = int(obj["audio_fs"])
+                    if fs > 0:
+                        st.audio_fs = fs
+                    else:
+                        bad.append("audio_fs")
+                except (TypeError, ValueError):
+                    bad.append("audio_fs")
             st.itn = bool(obj.get("itn", st.itn))
             st.svs_lang = obj.get("svs_lang", st.svs_lang)
             st.svs_itn = bool(obj.get("svs_itn", st.svs_itn))
-            st.vad_tail_sil = obj.get("vad_tail_sil")
-            st.vad_max_len = obj.get("vad_max_len")
-            hotwords = _parse_hotwords(obj.get("hotwords"))
+            st.vad_tail_sil = _safe_int(obj.get("vad_tail_sil"), None)
+            st.vad_max_len = _safe_int(obj.get("vad_max_len"), None)
+            try:
+                hotwords = _parse_hotwords(obj.get("hotwords"))
+            except Exception:
+                bad.append("hotwords")
+                hotwords = {}
+            if bad:
+                # malformed option values degrade to defaults and the
+                # client is TOLD (one non-final protocol error result) —
+                # the socket survives (the reference never drops a
+                # connection over an option type)
+                await self._send(ws, {
+                    "text": "", "mode": st.mode, "wav_name": st.wav_name,
+                    "is_final": False,
+                    "error": "ignored malformed fields: " + ",".join(bad),
+                })
             if self.models.server_hotwords:
                 merged = dict(self.models.server_hotwords)
                 merged.update(hotwords)
@@ -217,7 +270,8 @@ class AsrWsServer:
                     st.started = False
                     return
                 res = await loop.run_in_executor(
-                    self.executor, self._offline_decode, st)
+                    self._offline_executor or self.executor,
+                    self._offline_decode, st)
                 payload = {
                     "text": res.text, "mode": "offline",
                     "wav_name": st.wav_name, "is_final": True,
@@ -443,6 +497,11 @@ class AsrWsServer:
         if self.use_engine:
             from asr2pass_tpu.runtime.engine import StreamEngine
 
+            # the tick owns self.executor; offline uploads decode on
+            # their own pool so they cannot stall live 2pass streams
+            self._offline_executor = ThreadPoolExecutor(
+                max_workers=max(1, self.executor._max_workers),
+                thread_name_prefix="offline-decode")
             self.engine = StreamEngine(self.models,
                                        capacity=self.engine_capacity,
                                        pass2_async=True, fused_fetch=True)
@@ -474,3 +533,5 @@ class AsrWsServer:
         finally:
             if self.engine is not None:
                 self.engine.shutdown()
+            if self._offline_executor is not None:
+                self._offline_executor.shutdown(wait=False)

@@ -497,3 +497,107 @@ def test_svs_hotword_biased_serving(models):
         models.svs_params = None
         models.svs_cfg = None
         models.svs_vocab = None
+
+def test_malformed_first_message_fields_survive(models):
+    """VERDICT r4 item 6: malformed option types in the first JSON (bad
+    mode, non-numeric audio_fs, string hotword scores, junk vad fields)
+    get ONE protocol error result, degrade to defaults, and the SAME
+    socket then serves a clean utterance end-to-end."""
+    import websockets
+
+    async def run(port):
+        uri = f"ws://127.0.0.1:{port}"
+        async with websockets.connect(uri, max_size=1 << 30) as ws:
+            await ws.send(json.dumps({
+                "mode": "sideways", "audio_fs": "not-a-number",
+                "hotwords": {"词": "high"}, "vad_tail_sil": "xx",
+                "vad_max_len": [1, 2], "itn": "yes", "wav_name": 3,
+                "is_speaking": True,
+            }))
+            ack = json.loads(await asyncio.wait_for(ws.recv(), timeout=30))
+            assert ack["is_final"] is False
+            assert "mode" in ack["error"] and "audio_fs" in ack["error"]
+            # same socket: a clean utterance still decodes (mode degraded
+            # to the 2pass default, fs to 16000, hotword score to 20)
+            pcm = _pcm(1.2, seed=33)
+            await ws.send(pcm)
+            await ws.send(json.dumps({"is_speaking": False}))
+            while True:
+                m = json.loads(await asyncio.wait_for(ws.recv(),
+                                                      timeout=120))
+                if m.get("is_final"):
+                    return m
+
+    final = asyncio.run(_with_server(models, run))
+    assert final["mode"] == "2pass"
+
+
+def test_parse_hotwords_malformed_scores():
+    assert _parse_hotwords({"w": "high"}) == {"w": 20}
+    assert _parse_hotwords({"w": None, "v": 7}) == {"w": 20, "v": 7}
+    assert _parse_hotwords('{"w": "x", "v": 3}') == {"w": 20, "v": 3}
+
+
+def test_offline_upload_does_not_stall_engine_tick(models):
+    """VERDICT r4 item 5: a whole-file offline decode runs on its OWN
+    executor in engine mode — live 2pass streams keep emitting partials
+    at cadence while the upload decodes (the reference's decoder-pool
+    isolation, funasr-wss-server-2pass.cpp:531-538)."""
+    import time as _time
+
+    import websockets
+
+    async def run(server, port):
+        assert server._offline_executor is not None
+        loop = asyncio.get_running_loop()
+        started = asyncio.Event()
+        real = server._offline_decode
+
+        def slow(st):
+            loop.call_soon_threadsafe(started.set)
+            _time.sleep(6.0)         # a long decode occupying its worker
+            return real(st)
+
+        server._offline_decode = slow
+        uri = f"ws://127.0.0.1:{port}"
+        async with websockets.connect(uri, max_size=1 << 30) as off:
+            async with websockets.connect(uri) as live:
+                await live.send(json.dumps({
+                    "mode": "2pass", "wav_format": "pcm",
+                    "audio_fs": 16000, "wav_name": "live",
+                    "is_speaking": True}))
+                await off.send(json.dumps({
+                    "mode": "offline", "wav_format": "pcm",
+                    "audio_fs": 16000, "wav_name": "up",
+                    "is_speaking": True}))
+                await off.send(_pcm(2.0, seed=21))
+                await off.send(json.dumps({"is_speaking": False}))
+                await asyncio.wait_for(started.wait(), timeout=60)
+                # the decode is now sleeping on the offline executor;
+                # the engine tick must keep producing pass-1 partials
+                pcm = _pcm(6.0, seed=22)
+                stride = int(0.6 * 16000 * 2)
+                got_partial = False
+                deadline = loop.time() + 5.0   # inside the sleep window
+                i = 0
+                while loop.time() < deadline and not got_partial:
+                    await live.send(pcm[i: i + stride])
+                    i = (i + stride) % (len(pcm) - stride)
+                    try:
+                        m = json.loads(await asyncio.wait_for(
+                            live.recv(), timeout=0.6))
+                        if m.get("text"):
+                            got_partial = True
+                    except asyncio.TimeoutError:
+                        pass
+                assert got_partial, \
+                    "no live partial while an offline upload decoded"
+            # the upload itself still completes
+            while True:
+                m = json.loads(await asyncio.wait_for(off.recv(),
+                                                      timeout=120))
+                if m.get("is_final"):
+                    return m
+
+    final = asyncio.run(_with_engine_server(models, run))
+    assert final["mode"] == "offline"
