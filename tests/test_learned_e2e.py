@@ -143,3 +143,58 @@ def test_trained_model_streams_correctly(trained):
         total += len(expect)
         correct += sum(a == b for a, b in zip(text, expect))
     assert correct / total > 0.8
+
+
+def test_eval_cer_harness_gate(trained, tmp_path):
+    """VERDICT r4 item 4: the one-command CER harness
+    (tools/eval_cer.py, the asr_check.py + compute-wer.py methodology)
+    over the LEARNED tiny model on held-out synthetic audio reports
+    CER 0 and gates on --max-cer; a corrupted reference trips the gate."""
+    import json
+    import wave as wave_mod
+
+    from asr2pass_tpu.runtime.model_zoo import save_offline_bundle
+    from asr2pass_tpu.tools import eval_cer
+
+    cfg, params = trained
+    mdir = tmp_path / "model"
+    save_offline_bundle(str(mdir), params, cfg, TOKENS)
+
+    rng = np.random.default_rng(99)
+    scp_lines, ref_lines = [], []
+    for i in range(3):
+        seq = [int(x) for x in
+               rng.integers(FIRST_ID, FIRST_ID + N_TONES, SEQ_LEN)]
+        wav_path = tmp_path / f"u{i}.wav"
+        samples = _tone_wave(seq)
+        with wave_mod.open(str(wav_path), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(FS)
+            w.writeframes((np.clip(samples, -1, 1) * 32767
+                           ).astype("<i2").tobytes())
+        scp_lines.append(f"u{i} {wav_path}")
+        ref_lines.append(f"u{i} " + "".join(TOKENS[t] for t in seq))
+    scp = tmp_path / "wav.scp"
+    ref = tmp_path / "text"
+    scp.write_text("\n".join(scp_lines) + "\n", encoding="utf-8")
+    ref.write_text("\n".join(ref_lines) + "\n", encoding="utf-8")
+
+    report = tmp_path / "cer.json"
+    rc = eval_cer.main(["--scp", str(scp), "--ref", str(ref),
+                        "--model-dir", str(mdir), "--max-cer", "0.0",
+                        "--out", str(report),
+                        "--hyp-out", str(tmp_path / "hyp")])
+    assert rc == 0
+    rep = json.loads(report.read_text(encoding="utf-8"))
+    assert rep["cer"] == 0.0
+    assert rep["sentences"] == 3
+    assert len(rep["per_utt"]) == 3
+
+    # the gate has teeth: a corrupted reference fails the run
+    bad = tmp_path / "text_bad"
+    bad.write_text(ref_lines[0][:-1] + "一\n"
+                   + "\n".join(ref_lines[1:]) + "\n", encoding="utf-8")
+    rc_bad = eval_cer.main(["--scp", str(scp), "--ref", str(bad),
+                            "--model-dir", str(mdir), "--max-cer", "0.0"])
+    assert rc_bad == 1

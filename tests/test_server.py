@@ -601,3 +601,57 @@ def test_offline_upload_does_not_stall_engine_tick(models):
 
     final = asyncio.run(_with_engine_server(models, run))
     assert final["mode"] == "offline"
+
+def test_eval_cer_against_running_server(models, tmp_path):
+    """The CER harness's --server path (the reference-parity measurement:
+    same scp through any server speaking this protocol) drives a RUNNING
+    ws server and produces a scored report."""
+    import threading
+    import wave as wave_mod
+
+    from asr2pass_tpu.tools import eval_cer
+
+    rng = np.random.default_rng(17)
+    wav_path = tmp_path / "u0.wav"
+    samples = (rng.standard_normal(16000) * 0.1).clip(-1, 1)
+    with wave_mod.open(str(wav_path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((samples * 32767).astype("<i2").tobytes())
+    (tmp_path / "wav.scp").write_text(f"u0 {wav_path}\n")
+    (tmp_path / "text").write_text("u0 一七\n")
+
+    server = AsrWsServer(models, host="127.0.0.1", port=0)
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+    holder = {}
+
+    def run_srv():
+        asyncio.set_event_loop(loop)
+        srv = loop.run_until_complete(server.serve())
+        holder["port"] = srv.sockets[0].getsockname()[1]
+        started.set()
+        try:
+            loop.run_forever()
+        finally:
+            srv.close()
+
+    th = threading.Thread(target=run_srv, daemon=True)
+    th.start()
+    assert started.wait(60)
+    try:
+        report = tmp_path / "cer.json"
+        rc = eval_cer.main([
+            "--scp", str(tmp_path / "wav.scp"),
+            "--ref", str(tmp_path / "text"),
+            "--server", f"ws://127.0.0.1:{holder['port']}",
+            "--mode", "offline", "--out", str(report)])
+        assert rc == 0
+        rep = json.loads(report.read_text(encoding="utf-8"))
+        assert rep["sentences"] == 1
+        assert "cer" in rep
+    finally:
+        loop.call_soon_threadsafe(loop.stop)
+        th.join(10)
+        server.executor.shutdown(wait=False)
