@@ -91,3 +91,92 @@ def test_two_host_train_step_agrees():
     # both hosts observe the identical global loss
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
     assert losses[0] > 0
+
+
+_SERVE_WORKER = textwrap.dedent("""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+sys.path.insert(0, {root!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from asr2pass_tpu.parallel.multihost import init_distributed
+os.environ["COORDINATOR_ADDRESS"] = "127.0.0.1:{port}"
+os.environ["NUM_PROCESSES"] = "2"
+os.environ["PROCESS_ID"] = sys.argv[1]
+assert init_distributed()
+assert jax.process_count() == 2
+assert len(jax.local_devices()) == 4
+
+import numpy as np
+from asr2pass_tpu.config import VadConfig, paraformer_tiny
+from asr2pass_tpu.models import fsmn_vad, paraformer
+from asr2pass_tpu.runtime.engine import StreamEngine
+from asr2pass_tpu.server.engine import ServerModels
+from asr2pass_tpu.text.vocab import make_test_vocab
+
+# identical weights on every host (one fleet, one model), DIFFERENT
+# audio per host: serving data-parallelism — each process ticks its own
+# engine on its own local devices, DCN carries nothing per tick
+acfg = paraformer_tiny()
+models = ServerModels(
+    asr_params=paraformer.init(jax.random.PRNGKey(0), acfg),
+    asr_cfg=acfg,
+    vocab=make_test_vocab(acfg.vocab_size),
+    vad_params=fsmn_vad.init(jax.random.PRNGKey(1), VadConfig()),
+    vad_cfg=VadConfig(),
+)
+pid = jax.process_index()
+rng = np.random.default_rng(100 + pid)
+wave = (rng.standard_normal(int(16000 * 1.8)) * 0.1).astype(np.float32)
+
+def drive(eng, sid, w):
+    out = []
+    step = int(16000 * 0.6)
+    for off in range(0, len(w), step):
+        eng.feed(sid, w[off: off + step], is_final=off + step >= len(w))
+        eng.step()
+        out.extend(eng.poll(sid))
+    for _ in range(3):
+        eng.step()
+        out.extend(eng.poll(sid))
+    return "".join(r["text"] for r in out if r["mode"] == "2pass-offline")
+
+eng = StreamEngine(models, capacity=2)
+sid = eng.open()
+text = drive(eng, sid, wave)
+
+# in-process oracle: a FRESH engine on the same audio must agree — the
+# distributed runtime does not perturb per-host serving results
+eng2 = StreamEngine(models, capacity=2)
+text2 = drive(eng2, eng2.open(), wave)
+assert text == text2, (text, text2)
+print("RESULT p%d text=%s" % (pid, text), flush=True)
+""")
+
+
+def test_two_process_serving_dp():
+    """VERDICT r4 item 7: the serving story across processes — one
+    engine per host under ONE jax.distributed runtime (the reference's
+    supervisord fleet, supervisord.conf:11-45; here dp over DCN with
+    per-host local devices). Each process serves different audio,
+    results are deterministic per host and NOT cross-delivered."""
+    port = 29917
+    src = _SERVE_WORKER.format(root=ROOT, port=port)
+    procs = [subprocess.Popen([sys.executable, "-c", src, str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for i in range(2)]
+    texts = {}
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=540)
+        text = out.decode()
+        assert p.returncode == 0, f"proc {i} failed:\n{text[-2000:]}"
+        for line in text.splitlines():
+            if line.startswith("RESULT p"):
+                pid, t = line.split(" ", 2)[1], line.split("text=", 1)[1]
+                texts[pid] = t
+    assert set(texts) == {"p0", "p1"}
+    # different audio per host -> different transcripts (no cross-talk
+    # between the processes' engines)
+    assert texts["p0"] != texts["p1"]
+    assert texts["p0"] and texts["p1"]
