@@ -294,7 +294,9 @@ class _Slot:
 class StreamEngine:
     def __init__(self, models, capacity: int = 64, mode: str = "2pass",
                  pass2_async: bool = False, pipeline: bool = True,
-                 vad_async: bool = False, fused_fetch: bool = False):
+                 vad_async: bool = False, fused_fetch: bool = False,
+                 upload_overlap: bool = False,
+                 decide_async: bool = False):
         self.models = models
         self.capacity = capacity
         self.mode = mode
@@ -403,11 +405,38 @@ class StreamEngine:
         # pass-1 device step into many small dispatches (measured 70
         # dispatches instead of 8 for the same audio, 4x wall)
         self._stage_lock = threading.Lock()
+        # fused-tick async decide: the VAD automaton + splitter pass
+        # (pure host Python over the already-FETCHED posteriors — ~112 ms
+        # at capacity 512) moves to the decide lane, where it runs during
+        # the NEXT tick's fetch wait (the fetch releases the GIL); the
+        # tick stays dispatch+fetch only. Decisions land one lane-hop
+        # later — the same ordering contract as vad_async, minus the
+        # lane-side device fetch that made vad_async serialize transfers.
+        self._decide_async = decide_async and fused_fetch
         self._vd_thread = None
-        if vad_async:
+        if vad_async or self._decide_async:
             self._vd_thread = threading.Thread(
                 target=self._vd_collector, daemon=True, name="vad-decide")
             self._vd_thread.start()
+        # upload double-buffer (VERDICT r4 item 3): with upload_overlap
+        # the fused tick stages + uploads tick N+1's int16 waves on a
+        # dedicated lane WHILE tick N's combined fetch is in flight, so
+        # the ~145 ms host->device staging transfer (capacity 512) and
+        # the device round-trip overlap instead of serializing. Staged
+        # work counts in the slots' vd_inflight from STAGE time, so a
+        # slot can never be reclaimed between staging and dispatch (a
+        # stale row would otherwise write old audio into a fresh
+        # connection's device ring). Costs one tick of added latency for
+        # newly-arrived audio ONLY while the pipeline is primed; an idle
+        # engine stages inline.
+        self._upload_overlap = upload_overlap and fused_fetch
+        self._staged_next = None
+        self._upload_pool = None
+        if self._upload_overlap:
+            import concurrent.futures
+
+            self._upload_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="upload-lane")
 
     def warmup(self):
         """Compile the batched VAD + ASR steps before serving traffic
@@ -435,6 +464,13 @@ class StreamEngine:
             # the fused tick's combined fetch runs on THIS thread (the
             # serving executor) — pay its one-time session setup here
             jax.device_get((probs, ids, nums))
+        if self._upload_overlap:
+            # prime the upload lane's first host->device transfer (a
+            # thread's first tunnel use pays a one-time session setup)
+            self._upload_pool.submit(
+                lambda: np.asarray(jnp.asarray(
+                    np.zeros((self.capacity, self._vad_need), np.int16))
+                    [:1, :1])).result()
         if self._vad_async:
             with self._results_lock:
                 self._vd_outstanding += 1
@@ -621,32 +657,86 @@ class StreamEngine:
         constructor note for the round-trip economics."""
         from asr2pass_tpu.runtime.metrics import GLOBAL as METRICS
 
+        overlap = self._upload_overlap
         with METRICS.stage("tick_vad_dispatch"):
-            ctx = self._vad_stage_dispatch()
+            if overlap:
+                # consume the upload lane's pre-staged (already-uploaded)
+                # buffer; an unprimed pipeline stages inline this once
+                staged = self._staged_next
+                self._staged_next = None
+                if staged is None:
+                    staged = self._vad_stage_host(count_staged=True)
+                ctx = (self._vad_dispatch_staged(staged)
+                       if staged is not None else None)
+            else:
+                ctx = self._vad_stage_dispatch()
         with METRICS.stage("tick_p1_dispatch"):
             batches = self._asr_step(defer=True)
+        upload_fut = None
+        if overlap:
+            # stage + upload the NEXT tick's waves while this tick's
+            # combined fetch is in flight (the ~145 ms transfer and the
+            # device round-trip overlap instead of serializing)
+            upload_fut = self._upload_pool.submit(self._stage_and_upload)
         handles = [] if ctx is None else [ctx[0]]
         for b in batches:
             handles.append(b[2])
             handles.append(b[3])
-        with METRICS.stage("tick_fused_fetch"):
-            fetched = jax.device_get(tuple(handles)) if handles else ()
-        i = 0
-        if ctx is not None:
-            with METRICS.stage("tick_vad_decide"):
-                self._vad_decide((fetched[0], ctx[1]))
-            i = 1
-        with METRICS.stage("tick_p1_detok"):
-            for refs, finals, _, _ in batches:
-                self._finish_asr_batch(
-                    (refs, finals, fetched[i], fetched[i + 1]),
-                    inflight_counted=False)
-                i += 2
-        with METRICS.stage("tick_pass2_handoff"):
-            self._pass2()
+        try:
+            with METRICS.stage("tick_fused_fetch"):
+                fetched = jax.device_get(tuple(handles)) if handles else ()
+            i = 0
+            if ctx is not None:
+                if self._decide_async:
+                    # hand the (numpy) posteriors to the decide lane;
+                    # counted accounting holds the slots' reclaim gate
+                    # until the lane settles each work item
+                    with self._results_lock:
+                        if not overlap:   # overlap counted at stage time
+                            for _, slot, _, _, _ in ctx[1]:
+                                slot.vd_inflight += 1
+                        self._vd_outstanding += 1
+                    self._vd_queue.put((fetched[0], ctx[1]))
+                else:
+                    with METRICS.stage("tick_vad_decide"):
+                        self._decide_counted(fetched[0], ctx[1], overlap)
+                i = 1
+            with METRICS.stage("tick_p1_detok"):
+                for refs, finals, _, _ in batches:
+                    self._finish_asr_batch(
+                        (refs, finals, fetched[i], fetched[i + 1]),
+                        inflight_counted=False)
+                    i += 2
+            with METRICS.stage("tick_pass2_handoff"):
+                self._pass2()
+        finally:
+            # the next tick needs the staged buffer even when this tick
+            # failed mid-decide — a lost future would leak its slots'
+            # vd_inflight counts and wedge reclaim
+            if upload_fut is not None:
+                with METRICS.stage("tick_upload_join"):
+                    self._staged_next = upload_fut.result()
+
+    def _decide_counted(self, probs, work, counted: bool):
+        """Inline decide with the counted-settlement contract: on a
+        partial failure only the un-settled work items are decremented
+        (the _vd_collector rule, applied to the fused tick)."""
+        if not counted:
+            return self._vad_decide((probs, work))
+        settled: list = []
+        try:
+            self._vad_decide((probs, work), counted=True, settled=settled)
+        except Exception:
+            done = {id(s) for s in settled}
+            with self._results_lock:
+                for _, slot, _, _, _ in work:
+                    if id(slot) not in done:
+                        slot.vd_inflight -= 1
+            raise
 
     def has_inflight(self) -> bool:
-        return self._p1_outstanding > 0 or self._vd_outstanding > 0
+        return (self._p1_outstanding > 0 or self._vd_outstanding > 0
+                or self._staged_next is not None)
 
     def slot_has_work(self, slot) -> bool:
         """True when a slot has queued audio/frames/segments a step() would
@@ -658,8 +748,31 @@ class StreamEngine:
                          or slot.seg_queue))
 
     def _vad_stage_dispatch(self):
+        staged = self._vad_stage_host()
+        if staged is None:
+            return None
+        return self._vad_dispatch_staged(staged)
+
+    def _stage_and_upload(self):
+        """Upload-lane body: host-stage the next tick's audio and push
+        the int16 waves to the device while the current tick's fetch is
+        in flight. Staged work was counted into vd_inflight, so the
+        decide path must run with counted=True."""
+        staged = self._vad_stage_host(count_staged=True)
+        if staged is not None:
+            try:
+                staged["dev_waves"] = jnp.asarray(staged["waves"])
+            except Exception:
+                # settle the counts a failed upload would otherwise leak
+                with self._results_lock:
+                    for _, slot, _, _, _ in staged["work"]:
+                        slot.vd_inflight -= 1
+                raise
+        return staged
+
+    def _vad_stage_host(self, count_staged: bool = False):
         m = self.models
-        # stage every slot's VAD front-end, run ONE fused device step
+        # stage every slot's VAD front-end for ONE fused device step
         # (fbank+LFR+CMVN+NN) — per-slot dispatches are a network
         # round-trip each on a remote-execution backend and would dominate
         # the tick
@@ -738,17 +851,40 @@ class StreamEngine:
                 self._vad_next[sid] = upto
             work.append((sid, self.slots[sid], samples, is_final,
                          int(k_emit[sid])))
+        if count_staged:
+            # staged work holds its slots' reclaim gate until the decide
+            # path settles it (counted=True) — between staging and
+            # dispatch a reclaimed slot's row would otherwise write the
+            # previous connection's audio into the fresh device ring
+            with self._results_lock:
+                for _, slot, _, _, _ in work:
+                    slot.vd_inflight += 1
+        return {"waves": waves, "n_new": n_new, "win_start": win_start,
+                "total_new": total_new, "k_emit": k_emit,
+                "finals": finals, "ring_off": ring_off,
+                "buf_start": buf_start, "n_samp": n_samp, "work": work,
+                "dev_waves": None}
+
+    def _vad_dispatch_staged(self, staged):
+        m = self.models
+        dev_waves = staged["dev_waves"]
+        if dev_waves is None:
+            dev_waves = jnp.asarray(staged["waves"])
         (probs, self._vad_hist, self.vad_caches,
          self._audio_ring) = self._vad_step(
             m.vad_params, self._vad_means, self._vad_vars,
-            jnp.asarray(waves), jnp.asarray(n_new), jnp.asarray(win_start),
-            jnp.asarray(total_new), jnp.asarray(k_emit),
-            jnp.asarray(finals), self._vad_hist, self.vad_caches,
-            self._audio_ring, jnp.asarray(ring_off),
-            jnp.asarray(buf_start), jnp.asarray(n_samp))
+            dev_waves, jnp.asarray(staged["n_new"]),
+            jnp.asarray(staged["win_start"]),
+            jnp.asarray(staged["total_new"]),
+            jnp.asarray(staged["k_emit"]),
+            jnp.asarray(staged["finals"]), self._vad_hist,
+            self.vad_caches, self._audio_ring,
+            jnp.asarray(staged["ring_off"]),
+            jnp.asarray(staged["buf_start"]),
+            jnp.asarray(staged["n_samp"]))
         # async dispatch done; the posterior fetch happens in _vad_decide
         # after last tick's pass-1 results are collected
-        return probs, work
+        return probs, staged["work"]
 
     def _vd_collector(self):
         """Async VAD-decide lane: a single FIFO worker (per-slot decision
@@ -1071,6 +1207,9 @@ class StreamEngine:
             self._p2_queue.put(None)
             self._p2_thread.join(timeout)
             self._p2_thread = None
+        if self._upload_pool is not None:
+            self._upload_pool.shutdown(wait=True)
+            self._upload_pool = None
 
     def _p1_collector(self):
         """Background pass-1 result lane: a single FIFO worker (per-slot

@@ -106,7 +106,9 @@ class AsrWsServer:
                  ssl_context=None, use_engine: bool = False,
                  engine_capacity: int = 128,
                  max_message_bytes: int = 16 << 20,
-                 max_upload_bytes: int = 256 << 20):
+                 max_upload_bytes: int = 256 << 20,
+                 upload_overlap: bool = False,
+                 decide_async: bool = False):
         self.models = models
         self.host = host
         self.port = port
@@ -133,6 +135,8 @@ class AsrWsServer:
         self.use_engine = use_engine
         self.engine = None
         self.engine_capacity = engine_capacity
+        self.upload_overlap = upload_overlap
+        self.decide_async = decide_async
         self._engine_lock = None
         self._engine_conns = {}   # sid -> (ws, ConnectionState)
 
@@ -504,7 +508,9 @@ class AsrWsServer:
                 thread_name_prefix="offline-decode")
             self.engine = StreamEngine(self.models,
                                        capacity=self.engine_capacity,
-                                       pass2_async=True, fused_fetch=True)
+                                       pass2_async=True, fused_fetch=True,
+                                       upload_overlap=self.upload_overlap,
+                                       decide_async=self.decide_async)
             await asyncio.get_running_loop().run_in_executor(
                 self.executor, self.engine.warmup)
             self._engine_lock = asyncio.Lock()

@@ -168,7 +168,9 @@ def bench_engine(args):
     s = args.streams
     eng = StreamEngine(models, capacity=s, pass2_async=args.pass2_async,
                        vad_async=args.vad_async,
-                       fused_fetch=args.fused_fetch)
+                       fused_fetch=args.fused_fetch,
+                       upload_overlap=args.upload_overlap,
+                       decide_async=args.decide_async)
     eng.warmup()
     # warm the pass-2 bucket programs the burst pattern will hit — the
     # first in-process compile of a (bucket, batch) shape otherwise lands
@@ -271,6 +273,8 @@ def bench_engine(args):
         "adversarial": bool(args.adversarial),
         "wav_replay": bool(args.wav_dir),
         "svs": bool(args.svs),
+        "upload_overlap": bool(args.upload_overlap),
+        "decide_async": bool(args.decide_async),
     }
     print(json.dumps(result))
     return result
@@ -357,6 +361,13 @@ def bench_all(args):
     for cap in (64, 256):
         if cap != args.streams:
             run(f"engine_cap{cap}", bench_engine, streams=cap)
+    # VERDICT r4 item 3: attack the capacity-512 upload roofline with the
+    # double-buffered staging upload; record both points for the diff
+    run("engine_cap512", bench_engine, streams=512)
+    run("engine_cap512_overlap", bench_engine, streams=512,
+        upload_overlap=True)
+    run("engine_cap256_overlap", bench_engine, streams=256,
+        upload_overlap=True)
     ref_wavs = "/root/reference/clients/audio"
     if os.path.isdir(ref_wavs):
         run("engine_real_wavs", bench_engine, wav_dir=ref_wavs)
@@ -376,6 +387,14 @@ def main():
     ap.add_argument("--svs", action="store_true",
                     help="engine mode: SenseVoice-small pass-2 instead of "
                          "the offline Paraformer (MODEL_SVS serving)")
+    ap.add_argument("--decide-async", action="store_true",
+                    help="engine mode: run the VAD automaton/splitter "
+                         "pass on the decide lane (overlaps the next "
+                         "tick's fetch wait)")
+    ap.add_argument("--upload-overlap", action="store_true",
+                    help="engine mode: double-buffer the tick's int16 "
+                         "staging upload on a dedicated lane (overlaps "
+                         "the host->device transfer with the fused fetch)")
     ap.add_argument("--bench-out", default="bench_results.jsonl",
                     help="--mode all: append one JSON line per mode here")
     ap.add_argument("--batch", type=int, default=16)

@@ -56,6 +56,14 @@ def main():
                    help="batched StreamEngine serving (one jitted step "
                         "advances all connections)")
     p.add_argument("--engine-capacity", type=int, default=128)
+    p.add_argument("--upload-overlap", action="store_true",
+                   help="engine mode: double-buffer the per-tick staging "
+                        "upload on a dedicated lane (for capacities past "
+                        "the upload roofline; see bench.py sweep)")
+    p.add_argument("--decide-async", action="store_true",
+                   help="engine mode: VAD automaton/splitter on the "
+                        "decide lane (recommended with --upload-overlap "
+                        "at --engine-capacity >= 512)")
     p.add_argument("--max-message-mb", type=int, default=16,
                    help="max websocket frame size (MB)")
     p.add_argument("--max-upload-mb", type=int, default=256,
@@ -244,6 +252,8 @@ def main():
                 decode_workers=args.decode_workers,
                 ssl_context=ssl_ctx, use_engine=args.engine,
                 engine_capacity=args.engine_capacity,
+                upload_overlap=args.upload_overlap,
+                decide_async=args.decide_async,
                 max_message_bytes=args.max_message_mb << 20,
                 max_upload_bytes=args.max_upload_mb << 20).run_forever()
 

@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--vad-async", action="store_true", default=False)
     ap.add_argument("--vad-sync", dest="vad_async",
                     action="store_false")
+    ap.add_argument("--upload-overlap", action="store_true")
+    ap.add_argument("--decide-async", action="store_true")
     args = ap.parse_args()
 
     cache_dir = os.path.join(os.path.dirname(os.path.dirname(
@@ -64,7 +66,9 @@ def main():
     s = args.streams
     eng = StreamEngine(models, capacity=s, pass2_async=True,
                        vad_async=args.vad_async,
-                       fused_fetch=args.fused_fetch)
+                       fused_fetch=args.fused_fetch,
+                       upload_overlap=args.upload_overlap,
+                       decide_async=args.decide_async)
     eng.warmup()
     sids = [eng.open() for _ in range(s)]
     rng = np.random.default_rng(0)
@@ -93,7 +97,8 @@ def main():
     for name in ("tick_vad_dispatch", "tick_p1_collect", "tick_vad_decide",
                  "tick_fused_fetch", "tick_p1_detok",
                  "vd_probs_fetch", "vd_automaton",
-                 "tick_p1_dispatch", "tick_pass2_handoff"):
+                 "tick_p1_dispatch", "tick_pass2_handoff",
+                 "tick_upload_join"):
         st = rep.get(name)
         if st:
             print(f"  {name:20s} p50 {st['p50_ms']:7.1f}  "

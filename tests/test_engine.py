@@ -632,3 +632,107 @@ def test_engine_svs_hotword_context_per_slot(models):
     assert text_of(rb) == plain          # un-hotworded slot unchanged
     assert text_of(ra) != plain          # bias changed the hotworded slot
     assert hot in text_of(ra)
+
+
+def _drive_collect(eng, sid, wave, extra_steps=6):
+    out = []
+    step = int(16000 * 0.6)
+    for off in range(0, len(wave), step):
+        eng.feed(sid, wave[off: off + step],
+                 is_final=off + step >= len(wave))
+        eng.step()
+        out.extend(eng.poll(sid))
+    for _ in range(extra_steps):
+        eng.step()
+        out.extend(eng.poll(sid))
+    return out
+
+
+def test_upload_overlap_engine_matches_plain(models):
+    """VERDICT r4 item 3: the double-buffered staging upload changes
+    WHEN bytes move, not WHAT the engine computes — overlap and plain
+    fused-fetch engines produce identical partials and finals. The
+    overlap path defers each staged buffer by one tick, so drive with
+    drain steps until drained()."""
+    w = _wave(7, seconds=2.2)
+
+    plain = StreamEngine(models, capacity=2, fused_fetch=True)
+    sp = plain.open()
+    rp = _drive_collect(plain, sp, w)
+
+    over = StreamEngine(models, capacity=2, fused_fetch=True,
+                        upload_overlap=True)
+    so = over.open()
+    ro = _drive_collect(over, so, w)
+    # drain anything still staged on the upload lane
+    for _ in range(20):
+        if over.drained(so) and not over.has_inflight():
+            break
+        over.step()
+        ro.extend(over.poll(so))
+
+    def text_of(res, mode):
+        return "".join(r["text"] for r in res if r["mode"] == mode)
+
+    assert text_of(ro, "2pass-online") == text_of(rp, "2pass-online")
+    assert text_of(ro, "2pass-offline") == text_of(rp, "2pass-offline")
+    over.shutdown()
+    plain.shutdown()
+
+
+def test_upload_overlap_reclaim_waits_for_staged_work(models):
+    """A slot with STAGED-but-undispatched audio must not be reclaimed
+    (its row would write the previous connection's audio into the fresh
+    device ring): close() right after a feed, then the next open() must
+    either land on the other slot or wait until the staged work settles;
+    the new connection decodes cleanly either way."""
+    eng = StreamEngine(models, capacity=1, fused_fetch=True,
+                       upload_overlap=True)
+    a = eng.open()
+    eng.feed(a, _wave(8, seconds=0.6))
+    eng.step()          # consumes the feed into the staged/next buffer
+    eng.feed(a, _wave(8, seconds=0.6))
+    eng.close(a)        # staged work for slot a may still be in flight
+    # reclaim is gated on vd_inflight==0; drive ticks until it settles
+    deadline = 40
+    sid = None
+    for _ in range(deadline):
+        try:
+            sid = eng.open()
+            break
+        except Exception:
+            eng.step()
+    assert sid is not None, "slot never reclaimed after staged work"
+    res = _drive_collect(eng, sid, _wave(9))
+    modes = {r["mode"] for r in res}
+    assert "2pass-online" in modes
+    eng.shutdown()
+
+
+def test_decide_async_engine_matches_plain(models):
+    """The fused tick's async-decide lane (VAD automaton/splitter on the
+    collector thread) changes WHERE the host work runs, not the results:
+    identical partials and finals vs the inline fused tick."""
+    w = _wave(11, seconds=2.2)
+
+    plain = StreamEngine(models, capacity=2, fused_fetch=True)
+    sp = plain.open()
+    rp = _drive_collect(plain, sp, w)
+
+    da = StreamEngine(models, capacity=2, fused_fetch=True,
+                      decide_async=True, upload_overlap=True)
+    sd = da.open()
+    rd = _drive_collect(da, sd, w)
+    deadline = 100
+    while deadline and not (da.drained(sd) and not da.has_inflight()):
+        da.step()
+        rd.extend(da.poll(sd))
+        deadline -= 1
+
+    def text_of(res, mode):
+        return "".join(r["text"] for r in res if r["mode"] == mode)
+
+    assert text_of(rd, "2pass-online") == text_of(rp, "2pass-online")
+    assert text_of(rd, "2pass-offline") == text_of(rp, "2pass-offline")
+    da.shutdown()
+    plain.shutdown()
