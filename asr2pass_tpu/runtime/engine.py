@@ -87,13 +87,48 @@ def _fused_vad_step(fcfg, capacity: int, sil_pdf_ids=(0,)):
     max_new = 64 * fcfg.lfr_n * fcfg.frame_shift  # staging cap (samples)
 
     @jax.jit
-    def step(params, means, vars_, waves, n_new, win_start, total_new,
-             k_emit, finals, hist, caches, ring, ring_off, buf_start,
-             n_samp):
-        # waves arrive as int16 (PCM-grid; HALF the upload bytes of f32 —
-        # the tick is host->device-bandwidth-bound on tunnel backends);
-        # int16 value k == float sample k/32768 * scale_input exactly
-        frames = waves[:, frame_idx].astype(jnp.float32)    # [C, nf, flen]
+    def step(params, means, vars_, waves_new, n_new, win_start, total_new,
+             k_emit, finals, hist, caches, ring, ring_off, n_samp,
+             win_off):
+        # waves_new carries ONLY this tick's new samples, int16 (PCM-grid;
+        # int16 value k == float sample k/32768 * scale_input exactly):
+        # the fbank window is re-read from the device audio ring after the
+        # write below, so the framing residual never re-uploads and the
+        # staged buffer is [C, max_new] instead of [C, need] — ~13% fewer
+        # bytes on the transfer that dominates the tick at high capacity.
+        #
+        # 1. write the new samples into the per-slot device audio ring —
+        # the ONE upload serves VAD fbank, pass-1 and pass-2. Structured
+        # vmapped dynamic_update_slice (an arbitrary-index scatter on the
+        # [C, 2^17] ring measured ~100 ms; this form is ~1-5 ms). The
+        # host caps staging so a write never straddles the ring end;
+        # start2/shift realign when the fixed-length window would.
+        shift = ring_off - jnp.minimum(ring_off,
+                                       _RING_SAMPLES - max_new)
+        start2 = ring_off - shift
+        j = jnp.arange(max_new)[None, :]
+        src = jnp.clip(j - shift[:, None], 0, max_new - 1)
+        vals = jnp.take_along_axis(waves_new, src, axis=1)
+        keep = (j >= shift[:, None]) & (j < (shift + n_samp)[:, None])
+        old = jax.vmap(
+            lambda r, s: jax.lax.dynamic_slice(r, (s,), (max_new,))
+        )(ring, start2)
+        upd = jnp.where(keep, vals, old)
+        new_ring = jax.vmap(
+            lambda r, u, s: jax.lax.dynamic_update_slice(r, u, (s,))
+        )(ring, upd, start2)
+        # 2. gather each slot's fbank window (residual + new samples) from
+        # the updated ring — the residual samples were written by earlier
+        # ticks; the head-duplicated ring handles wrap (the pass-1
+        # pattern). Samples past the valid window read stale ring data,
+        # but every consumer is masked: the LFR gather clamps to
+        # total_new, fsmn_vad.apply advances caches by exactly k_emit,
+        # and the automaton reads only k_emit posterior rows.
+        ext = jnp.concatenate([new_ring, new_ring[:, :need]], axis=1)
+        win = jax.vmap(
+            lambda r, s: jax.lax.dynamic_slice(r, (s,), (need,))
+        )(ext, win_off)
+        frames = win[:, frame_idx].astype(jnp.float32)       # [C, nf, flen]
         mel_new = ex.frames_to_mel(
             (frames * (fcfg.scale_input / 32768.0)
              ).reshape(capacity * nf, -1)
@@ -121,31 +156,9 @@ def _fused_vad_step(fcfg, capacity: int, sil_pdf_ids=(0,)):
         hidx = n_new[:, None] + jnp.arange(hist_len)[None, :]
         new_hist = jnp.take_along_axis(combined, hidx[:, :, None], axis=1)
         new_hist = jnp.where(finals[:, None, None], 0.0, new_hist)
-        # write this tick's NEW samples (the tail of the staged buf) into
-        # the per-slot device audio ring the pass-1 step reads — the ONE
-        # audio upload serves both passes. Structured vmapped
-        # dynamic_update_slice (an arbitrary-index scatter on the
-        # [C, 2^17] ring measured ~100 ms; this form is ~1-5 ms). The
-        # host caps staging so a write never straddles the ring end;
-        # start2/shift realign when the fixed-length window would.
-        shift = ring_off - jnp.minimum(ring_off,
-                                       _RING_SAMPLES - max_new)
-        start2 = ring_off - shift
-        j = jnp.arange(max_new)[None, :]
-        src = jnp.clip(buf_start[:, None] + j - shift[:, None],
-                       0, need - 1)
-        vals = jnp.take_along_axis(waves, src, axis=1)
-        keep = (j >= shift[:, None]) & (j < (shift + n_samp)[:, None])
-        old = jax.vmap(
-            lambda r, s: jax.lax.dynamic_slice(r, (s,), (max_new,))
-        )(ring, start2)
-        upd = jnp.where(keep, vals, old)
-        new_ring = jax.vmap(
-            lambda r, u, s: jax.lax.dynamic_update_slice(r, u, (s,))
-        )(ring, upd, start2)
         return sil, new_hist, new_caches, new_ring
 
-    return step, need
+    return step, need, max_new
 
 
 _P1_FRAMES = 68          # max new mel frames staged per pass-1 round
@@ -321,7 +334,8 @@ class StreamEngine:
         # fused VAD front-end+NN (one dispatch per tick); host-side window
         # counters + device-resident mel history ring
         fcfg = models.vad_cfg.frontend
-        self._vad_step, self._vad_need = _fused_vad_step(
+        (self._vad_step, self._vad_need,
+         self._vad_max_new) = _fused_vad_step(
             fcfg, capacity, tuple(models.vad_cfg.sil_pdf_ids))
         vmeans, vvars = (models.vad_cmvn if models.vad_cmvn is not None
                          else (np.zeros(fcfg.lfr_dim, np.float32),
@@ -449,7 +463,7 @@ class StreamEngine:
         zi = jnp.zeros((self.capacity,), jnp.int32)
         probs, _, _, _ = self._vad_step(
             m.vad_params, self._vad_means, self._vad_vars,
-            jnp.zeros((self.capacity, self._vad_need), jnp.int16),
+            jnp.zeros((self.capacity, self._vad_max_new), jnp.int16),
             zi, zi, zi, zi,
             jnp.zeros((self.capacity,), bool),
             self._vad_hist, self.vad_caches,
@@ -469,7 +483,7 @@ class StreamEngine:
             # thread's first tunnel use pays a one-time session setup)
             self._upload_pool.submit(
                 lambda: np.asarray(jnp.asarray(
-                    np.zeros((self.capacity, self._vad_need), np.int16))
+                    np.zeros((self.capacity, self._vad_max_new), np.int16))
                     [:1, :1])).result()
         if self._vad_async:
             with self._results_lock:
@@ -812,26 +826,28 @@ class StreamEngine:
         fcfg = m.vad_cfg.frontend
         lfr_m, lfr_n = fcfg.lfr_m, fcfg.lfr_n
         left = (lfr_m - 1) // 2
-        waves = np.zeros((self.capacity, self._vad_need), np.int16)
+        waves = np.zeros((self.capacity, self._vad_max_new), np.int16)
         n_new = np.zeros(self.capacity, np.int32)
         win_start = self._vad_next.astype(np.int32)
         total_new = self._vad_total.astype(np.int32)
         k_emit = np.zeros(self.capacity, np.int32)
         finals = np.zeros(self.capacity, bool)
         ring_off = np.zeros(self.capacity, np.int32)
-        buf_start = np.zeros(self.capacity, np.int32)
+        win_off = np.zeros(self.capacity, np.int32)
         n_samp = np.zeros(self.capacity, np.int32)
         work = []  # (sid, slot, samples, is_final, n_vad_rows)
         for sid, samples, is_final, buf, nf in staged:
-            # exact: buf is PCM-grid float (k/32768), so *32768 is integer
-            waves[sid, : min(len(buf), self._vad_need)] = (
-                buf[: self._vad_need] * 32768.0).astype(np.int16)
-            # ring-write coordinates: the NEW samples are the tail of the
-            # staged buf (the head is the frontend's framing residual)
+            # ONLY the new samples upload (exact: PCM-grid float k/32768,
+            # so *32768 is integer); the fbank window — the frontend's
+            # framing residual followed by these samples — is re-read
+            # from the device ring inside the step
+            n = len(samples)
+            waves[sid, :n] = (samples * 32768.0).astype(np.int16)
             ring_off[sid] = self._abs_fed[sid] % _RING_SAMPLES
-            buf_start[sid] = len(buf) - len(samples)
-            n_samp[sid] = len(samples)
-            self._abs_fed[sid] += len(samples)
+            win_off[sid] = ((self._abs_fed[sid] - (len(buf) - n))
+                            % _RING_SAMPLES)
+            n_samp[sid] = n
+            self._abs_fed[sid] += n
             n_new[sid] = nf
             total = int(self._vad_total[sid]) + nf
             total_new[sid] = total
@@ -862,7 +878,7 @@ class StreamEngine:
         return {"waves": waves, "n_new": n_new, "win_start": win_start,
                 "total_new": total_new, "k_emit": k_emit,
                 "finals": finals, "ring_off": ring_off,
-                "buf_start": buf_start, "n_samp": n_samp, "work": work,
+                "win_off": win_off, "n_samp": n_samp, "work": work,
                 "dev_waves": None}
 
     def _vad_dispatch_staged(self, staged):
@@ -880,8 +896,8 @@ class StreamEngine:
             jnp.asarray(staged["finals"]), self._vad_hist,
             self.vad_caches, self._audio_ring,
             jnp.asarray(staged["ring_off"]),
-            jnp.asarray(staged["buf_start"]),
-            jnp.asarray(staged["n_samp"]))
+            jnp.asarray(staged["n_samp"]),
+            jnp.asarray(staged["win_off"]))
         # async dispatch done; the posterior fetch happens in _vad_decide
         # after last tick's pass-1 results are collected
         return probs, staged["work"]

@@ -251,7 +251,7 @@ def test_fused_vad_step_matches_reference_frontend(models, lfr_m, lfr_n):
         params = fsmn_vad.init(jax.random.PRNGKey(3), cfg)
     fcfg = cfg.frontend
     capacity = 2
-    step, need = _fused_vad_step(fcfg, capacity)
+    step, need, max_new = _fused_vad_step(fcfg, capacity)
     means = jnp.zeros(fcfg.lfr_dim, jnp.float32)
     vars_ = jnp.ones(fcfg.lfr_dim, jnp.float32)
 
@@ -292,8 +292,11 @@ def test_fused_vad_step_matches_reference_frontend(models, lfr_m, lfr_n):
             ref_probs.append(np.asarray(p[0, :t]))
 
         buf, nf = fe.stage(piece)
-        waves = np.zeros((capacity, need), np.int16)
-        waves[0, :len(buf)] = (buf * 32768.0).astype(np.int16)
+        # NEW-samples-only upload; the step re-reads the fbank window
+        # (residual + new) from the device audio ring
+        waves = np.zeros((capacity, max_new), np.int16)
+        waves[0, :len(piece)] = (piece * 32768.0).astype(np.int16)
+        win_off = (abs_fed - (len(buf) - len(piece))) % RING
         tot = total + nf
         if is_final:
             upto = -(-tot // fcfg.lfr_n)
@@ -312,8 +315,8 @@ def test_fused_vad_step_matches_reference_frontend(models, lfr_m, lfr_n):
             jnp.asarray([is_final, False]),
             hist, caches, audio_ring,
             jnp.asarray([abs_fed % RING, 0], np.int32),
-            jnp.asarray([len(buf) - len(piece), 0], np.int32),
-            jnp.asarray([len(piece), 0], np.int32))
+            jnp.asarray([len(piece), 0], np.int32),
+            jnp.asarray([win_off, 0], np.int32))
         abs_fed += len(piece)
         if k:
             fused_probs.append(np.asarray(probs[0, :k]))
