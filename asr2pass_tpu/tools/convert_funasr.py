@@ -422,6 +422,11 @@ def verify_against_onnx(src: str, params, kind: str, tol: float = 1e-3,
                 np.asarray(onnx_out[2]) - np.asarray(us_a)).max()))
             diff = max(diff, float(np.abs(
                 np.asarray(onnx_out[3]) - np.asarray(us_p)).max()))
+    elif kind == "punc" and any("mask" in n for n in g.inputs):
+        # a VadRealtime export auto-detected as "punc": same weights,
+        # but the graph takes the vad_mask/sub_masks inputs — drive the
+        # online session contract
+        diff = _verify_punc_online(src, g, params, rng)
     elif kind == "punc":
         from asr2pass_tpu import config as cfg_mod
         from asr2pass_tpu.models import ct_transformer

@@ -567,3 +567,39 @@ def test_punc_online_verify_catches_wrong_weights(tmp_path):
         params["encoder"]["first"]["att"]["qkv"]["w"] + 0.03)
     with pytest.raises(AssertionError):
         verify_against_onnx(str(src), params, "punc_online")
+
+
+def test_punc_online_autodetect_from_4_input_graph(tmp_path):
+    """A realtime punc dir auto-detected as kind=punc (same weights) but
+    shipping the 4-input VadRealtime graph must verify through the
+    online contract automatically — the fetch_model --verify path on a
+    real *_realtime checkpoint dir."""
+    from torch_funasr_export import TorchCTTransformerVadRealtime
+
+    from asr2pass_tpu.tools.convert_funasr import (
+        convert_punc_state_dict,
+        verify_against_onnx,
+    )
+
+    rng = np.random.default_rng(21)
+    sd = make_punc_state_dict(rng, vocab=60, d_model=32, blocks=3,
+                              ffn_dim=48)
+    src = tmp_path / "punc_auto"
+    src.mkdir()
+    m = TorchCTTransformerVadRealtime(vocab=60, d_model=32, blocks=3,
+                                      heads=HEADS, ffn=48)
+    load_numpy_state_dict(m, sd)
+    m.eval()
+    t = 24
+    export_onnx(m, (torch.randint(0, 60, (1, t), dtype=torch.int32),
+                    torch.tensor([t], dtype=torch.int32),
+                    torch.ones(1, 1, t, t), torch.ones(1, 1, t, t)),
+                str(src / "model.onnx"),
+                ["inputs", "text_lengths", "vad_mask", "sub_masks"],
+                ["logits"])
+    (src / "config.yaml").write_text(
+        "encoder_conf:\n  attention_heads: 4\n")
+    params = convert_punc_state_dict({k: np.asarray(v)
+                                      for k, v in sd.items()})
+    diff = verify_against_onnx(str(src), params, "punc")  # not punc_online
+    assert diff < 1e-3
