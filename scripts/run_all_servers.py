@@ -44,8 +44,24 @@ def build_cmd(entry: dict):
         cmd += ["--decode-workers", str(entry["decode_workers"])]
     if entry.get("engine"):
         cmd.append("--engine")
+    if entry.get("engine_capacity"):
+        cmd += ["--engine-capacity", str(entry["engine_capacity"])]
+    if entry.get("upload_overlap"):
+        cmd.append("--upload-overlap")
+    if entry.get("decide_async"):
+        cmd.append("--decide-async")
+    if entry.get("svs_dir"):
+        cmd += ["--svs-dir", entry["svs_dir"]]
+    if entry.get("svs_beam"):
+        cmd += ["--svs-beam", str(entry["svs_beam"])]
+    if entry.get("lm_dir"):
+        cmd += ["--lm-dir", entry["lm_dir"]]
+    if entry.get("hotword_file"):
+        cmd += ["--hotword-file", entry["hotword_file"]]
     if entry.get("tp_devices"):
         cmd += ["--tp-devices", str(entry["tp_devices"])]
+    if entry.get("sp_devices"):
+        cmd += ["--sp-devices", str(entry["sp_devices"])]
     if entry.get("cpu"):
         cmd.append("--cpu")
     env = dict(os.environ)
