@@ -655,3 +655,53 @@ def test_eval_cer_against_running_server(models, tmp_path):
         loop.call_soon_threadsafe(loop.stop)
         th.join(10)
         server.executor.shutdown(wait=False)
+
+def test_engine_ws_svs_hotword_end_to_end(models):
+    """Full stack for the SVS hotword path: websocket -> engine slot ->
+    pooled SVS pass-2 with the per-slot context graph — a hotword in the
+    first message changes the 2pass-offline finals through the ENGINE
+    serving path (not just the per-connection session path)."""
+    import dataclasses
+
+    from asr2pass_tpu.config import sensevoice_tiny
+    from asr2pass_tpu.models import sensevoice
+
+    scfg = sensevoice_tiny()
+    svocab = make_test_vocab(scfg.vocab_size)
+    m = dataclasses.replace(
+        models, svs_params=sensevoice.init(jax.random.PRNGKey(7), scfg),
+        svs_cfg=scfg, svs_vocab=svocab)
+    hot = svocab.id2token(7) + svocab.id2token(8)
+
+    async def run_one(port, hotwords):
+        import websockets
+
+        pcm = _pcm(1.8, seed=41)
+        texts = []
+        async with websockets.connect(f"ws://127.0.0.1:{port}",
+                                      max_size=1 << 30) as ws:
+            await ws.send(json.dumps({
+                "mode": "2pass", "wav_name": "h", "wav_format": "pcm",
+                "audio_fs": 16000, "is_speaking": True, "itn": False,
+                "hotwords": hotwords,
+            }))
+            stride = int(0.6 * 16000 * 2)
+            for i in range(0, len(pcm), stride):
+                await ws.send(pcm[i: i + stride])
+            await ws.send(json.dumps({"is_speaking": False}))
+            while True:
+                msg = json.loads(await asyncio.wait_for(ws.recv(),
+                                                        timeout=120))
+                if msg.get("mode") == "2pass-offline":
+                    texts.append(msg["text"])
+                if msg.get("is_final"):
+                    return "".join(texts)
+
+    async def run(server, port):
+        plain = await run_one(port, "")
+        biased = await run_one(port, json.dumps({hot: 90}))
+        return plain, biased
+
+    plain, biased = asyncio.run(_with_engine_server(m, run))
+    assert biased != plain
+    assert hot in biased
