@@ -231,3 +231,22 @@ def test_replay_2pass_engine_mode(models):
         _assert_timestamp_schema(m)
     finals = [i for i, m in enumerate(msgs) if m["is_final"]]
     assert finals == [len(msgs) - 1]
+
+
+def test_replay_2pass_engine_overlap_decide_async(models):
+    """The high-capacity scheduling flags (double-buffered staging
+    upload + async decide lane) must not change the wire contract:
+    same message sequence invariants as the plain engine replay."""
+    msgs = asyncio.run(_with_server(
+        models, lambda port: _reference_replay(
+            port, "2pass", "wov", _pcm_bytes(2.4, seed=5)),
+        use_engine=True, engine_capacity=4,
+        upload_overlap=True, decide_async=True))
+    modes = [m.get("mode") for m in msgs]
+    assert set(modes) <= {"2pass-online", "2pass-offline", "2pass"}
+    assert "2pass-offline" in modes
+    for m in msgs:
+        assert m["wav_name"] == "wov"
+        _assert_timestamp_schema(m)
+    finals = [i for i, m in enumerate(msgs) if m["is_final"]]
+    assert finals == [len(msgs) - 1]
