@@ -101,18 +101,56 @@ def ctc_prefix_beam_search_pruned(
     blank_id: int = 0,
     context: Optional[ContextGraph] = None,
     id_to_token=None,
+    token2id=None,
+    use_native: bool = True,
 ) -> List[Tuple[List[int], float, List[int]]]:
     """Prefix beam over PRE-PRUNED per-frame candidates ([T, k] ids +
     log-probs) — the first-prune stage runs ON DEVICE
     (parallel/ctc_shard.py), sharded over the tp mesh when the CTC head
     is vocab-sharded, so only k candidates per frame cross the wire
     instead of the [T, V] row. Equivalent to ctc_prefix_beam_search with
-    first_beam = k."""
+    first_beam = k.
+
+    The serving path runs the beam in native C++ (native/src/ctc_beam.cc,
+    an exact mirror of _prefix_beam_over_frames, parity-tested) when the
+    lib is available; hotword biasing there needs `token2id` to key the
+    context trie by unit id (this Python spec keys it by token string via
+    `id_to_token` — same reachability). Python is the fallback and the
+    executable spec."""
+    if use_native and (context is None or token2id is not None):
+        res = _native_pruned_beam(cand_ids, cand_logp, length, beam,
+                                  blank_id, context, token2id)
+        if res is not None:
+            return res
     frames = [[(int(cand_ids[t, j]), float(cand_logp[t, j]))
                for j in range(cand_ids.shape[1])]
               for t in range(length)]
     return _prefix_beam_over_frames(frames, beam, blank_id, context,
                                     id_to_token)
+
+
+def _native_pruned_beam(cand_ids, cand_logp, length, beam, blank_id,
+                        context, token2id):
+    try:
+        from asr2pass_tpu.native import bindings as nb
+
+        if not nb.available():
+            return None
+        trie = None
+        if context is not None:
+            # serialized trie cached on the (immutable, shared) graph
+            cache = getattr(context, "_a2p_trie", None)
+            if cache is None or cache[0] is not token2id:
+                cache = (token2id,
+                         nb.serialize_context_trie(context, token2id))
+                context._a2p_trie = cache
+            trie = cache[1]
+        return nb.ctc_beam_decode(np.asarray(cand_ids),
+                                  np.asarray(cand_logp, np.float32),
+                                  length, beam=beam, blank_id=blank_id,
+                                  trie=trie)
+    except Exception:  # pragma: no cover - fall back to the Python spec
+        return None
 
 
 def _prefix_beam_over_frames(frames, beam, blank_id, context, id_to_token):

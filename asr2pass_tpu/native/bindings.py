@@ -111,6 +111,12 @@ def _load():
     lib.a2p_vad_seg_count.restype = ctypes.c_int32
     lib.a2p_vad_seg_count.argtypes = [ctypes.c_void_p]
     lib.a2p_vad_seg.argtypes = [ctypes.c_void_p, ctypes.c_int32, i32p]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.a2p_ctcbeam_decode.restype = ctypes.c_int32
+    lib.a2p_ctcbeam_decode.argtypes = [
+        i32p, f32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, i32p, i32p, f32p, u8p,
+        i32p, i32p, i32p, f32p, ctypes.c_int32]
     _lib = lib
     return _lib
 
@@ -527,3 +533,81 @@ class NativeTlgFstDecoder:
                 self._lib.a2p_tlg_free(ctypes.c_void_p(self.ptr))
         except TypeError:  # interpreter shutdown
             pass
+
+
+# ---- native CTC prefix beam (ctc_beam.cc) --------------------------------
+
+def serialize_context_trie(context, token2id):
+    """ContextGraph -> flat (parent, unit, score, is_end) arrays (root =
+    row 0) for the native CTC beam. Edges whose token string is not a
+    vocab token get unit=-1: candidate ids are >= 0 so they can never
+    match — exactly the Python beam's reachability (it compares
+    id_to_token(tok) against the edge token) — while the node STRUCTURE
+    (has-children, totals) stays identical for the retract semantics."""
+    parents = [0]
+    units = [0]
+    scores = [0.0]
+    ends = [0]
+
+    def walk(node, idx):
+        for tok, child in node.children.items():
+            cidx = len(parents)
+            parents.append(idx)
+            units.append(int(token2id.get(tok, -1)))
+            scores.append(float(child.score))
+            ends.append(int(child.is_end))
+            walk(child, cidx)
+
+    walk(context.root, 0)
+    return (np.asarray(parents, np.int32), np.asarray(units, np.int32),
+            np.asarray(scores, np.float32), np.asarray(ends, np.uint8))
+
+
+def ctc_beam_decode(cand_ids: np.ndarray, cand_logp: np.ndarray,
+                    length: int, beam: int = 10, blank_id: int = 0,
+                    trie=None):
+    """Native prefix beam over [T, K] pruned candidates; returns the
+    n-best [(ids, score, times)] list with the exact semantics of
+    decode/ctc._prefix_beam_over_frames, or None when the lib is
+    unavailable. `trie` = serialize_context_trie(...) arrays or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    cand = np.ascontiguousarray(cand_ids[:length], np.int32)
+    lp = np.ascontiguousarray(cand_logp[:length], np.float32)
+    if cand.ndim != 2 or cand.shape != lp.shape:
+        return None
+    t, k = cand.shape
+    max_len = max(t, 1)
+    out_ids = np.zeros((beam, max_len), np.int32)
+    out_times = np.zeros((beam, max_len), np.int32)
+    out_lens = np.zeros(beam, np.int32)
+    out_scores = np.zeros(beam, np.float32)
+    if trie is not None:
+        parents, units, scores, ends = trie
+        n_nodes = len(parents)
+        pa, un, sc = _i32(parents), _i32(units), _f32(scores)
+        en = np.ascontiguousarray(ends, np.uint8).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8))
+    else:
+        n_nodes = 0
+        pa = un = ctypes.cast(None, ctypes.POINTER(ctypes.c_int32))
+        sc = ctypes.cast(None, ctypes.POINTER(ctypes.c_float))
+        en = ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8))
+    n = lib.a2p_ctcbeam_decode(
+        _i32(cand), _f32(lp), t, k, int(beam), int(blank_id),
+        n_nodes, pa, un, sc, en,
+        out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_times.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_len)
+    if n < 0:
+        return None
+    out = []
+    for i in range(n):
+        ln = int(out_lens[i])
+        ids = [int(x) for x in out_ids[i, :ln]]
+        times = [int(x) for x in out_times[i, :ln] if x >= 0]
+        out.append((ids, float(out_scores[i]), times))
+    return out

@@ -243,7 +243,8 @@ class SenseVoiceOffline:
                         fid, flp, ln - NUM_META,
                         beam=max(self.beam, 10),
                         blank_id=self.cfg.blank_id, context=ctx,
-                        id_to_token=self.vocab.id2token)
+                        id_to_token=self.vocab.id2token,
+                        token2id=self.vocab.token2id)
                     tok_ids = nbest[0][0] if nbest else []
                 else:
                     tok_ids = [int(x) for x in ids[k, : int(counts[k])]]

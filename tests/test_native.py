@@ -123,3 +123,85 @@ def test_native_vad_speech_segments():
     start, end = segs[0]
     assert 2500 <= start <= 3600      # speech starts at frame 320 (3200ms)
     assert 12000 <= end <= 13600      # ends at frame 1280 (12800ms)
+
+
+def test_native_ctc_beam_matches_python_spec():
+    """native/src/ctc_beam.cc == decode/ctc._prefix_beam_over_frames on
+    randomized pruned candidates — full n-best ids, scores AND viterbi
+    times, with and without a hotword context graph (incl. the
+    force-included-unit merge the serving path uses)."""
+    import jax.numpy as jnp
+
+    from asr2pass_tpu.decode.context_graph import ContextGraph
+    from asr2pass_tpu.decode.ctc import ctc_prefix_beam_search_pruned
+    from asr2pass_tpu.native import bindings as nb
+    from asr2pass_tpu.parallel.ctc_shard import ctc_first_prune
+    from asr2pass_tpu.text.vocab import make_test_vocab
+
+    if not nb.available():
+        pytest.skip("native lib unavailable")
+    vocab = make_test_vocab(64)
+    hot1 = vocab.id2token(7) + vocab.id2token(9)
+    hot2 = vocab.id2token(7) + vocab.id2token(11) + vocab.id2token(12)
+    cg = ContextGraph(context_score=3.0).build({hot1: None, hot2: 5.0})
+
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        t, v, k = 18, 64, 12
+        logits = rng.standard_normal((t, v)).astype(np.float32) * 2.5
+        cid, clp = ctc_first_prune(jnp.asarray(logits)[None], k=k)
+        cid, clp = np.asarray(cid)[0], np.asarray(clp)[0]
+        for ctx in (None, cg):
+            kw = dict(beam=6, blank_id=0, context=ctx,
+                      id_to_token=vocab.id2token,
+                      token2id=vocab.token2id)
+            py = ctc_prefix_beam_search_pruned(cid, clp, t,
+                                               use_native=False, **kw)
+            nat = ctc_prefix_beam_search_pruned(cid, clp, t,
+                                                use_native=True, **kw)
+            assert [p[0] for p in nat] == [p[0] for p in py], \
+                (seed, ctx is not None)
+            np.testing.assert_allclose([p[1] for p in nat],
+                                       [p[1] for p in py], atol=1e-4)
+            assert [p[2] for p in nat] == [p[2] for p in py]
+
+
+def test_native_ctc_beam_hotword_outside_topk():
+    """The serving combination: device prune hides a hotword unit, the
+    merged candidate set restores it — through the NATIVE beam."""
+    import jax.numpy as jnp
+
+    from asr2pass_tpu.decode.context_graph import ContextGraph
+    from asr2pass_tpu.decode.ctc import ctc_prefix_beam_search_pruned
+    from asr2pass_tpu.native import bindings as nb
+    from asr2pass_tpu.parallel.ctc_shard import ctc_first_prune, \
+        ctc_gather_logp
+    from asr2pass_tpu.runtime.sensevoice_asr import (
+        _merge_candidates,
+        context_unit_ids,
+    )
+    from asr2pass_tpu.text.vocab import make_test_vocab
+
+    if not nb.available():
+        pytest.skip("native lib unavailable")
+    vocab = make_test_vocab(64)
+    logp = np.full((2, 64), -12.0, np.float32)
+    logp[0, 4] = -0.01
+    logp[1, 6] = -0.40
+    for j, tok in enumerate(range(20, 30)):
+        logp[1, tok] = -0.60 - 0.001 * j
+    logp[1, 5] = -0.80
+    hot = vocab.id2token(4) + vocab.id2token(5)
+    cg = ContextGraph(context_score=3.0).build({hot: None})
+    logits = jnp.asarray(logp)[None]
+    cid, clp = ctc_first_prune(logits, k=8)
+    hw_ids = context_unit_ids(cg, vocab.token2id)
+    hw_lp = np.asarray(ctc_gather_logp(
+        logits, jnp.asarray(hw_ids, jnp.int32)))[0]
+    mid, mlp = _merge_candidates(np.asarray(cid)[0], np.asarray(clp)[0],
+                                 hw_ids, hw_lp)
+    nat = ctc_prefix_beam_search_pruned(
+        mid, mlp, 2, beam=4, blank_id=0, context=cg,
+        id_to_token=vocab.id2token, token2id=vocab.token2id,
+        use_native=True)
+    assert nat[0][0] == [4, 5]
