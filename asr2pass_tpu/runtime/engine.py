@@ -534,21 +534,25 @@ class StreamEngine:
                 slot.vad_tail_sil = vad_tail_sil
                 slot.vad_max_len = vad_max_len
                 slot.speech_noise_thres = speech_noise_thres
-                if (self.models.lm is not None
-                        or self.models.tlg_dir is not None):
-                    slot.lm_decoder = self.models._make_lm_decoder(
-                        hotwords or None)
-                if hotwords and self.offline is not None:
+                svs = False
+                if self.offline is not None:
                     from asr2pass_tpu.runtime.sensevoice_asr import (
                         SenseVoiceOffline,
                     )
 
-                    if isinstance(self.offline.asr, SenseVoiceOffline):
-                        # SVS hotword biasing rides the context graph in
-                        # the CTC beam (sensevoice-small.cpp:392-440) —
-                        # compiled once per connection, shared read-only
-                        slot.svs_context = \
-                            self.models.svs_context_graph(hotwords)
+                    svs = isinstance(self.offline.asr, SenseVoiceOffline)
+                if (self.models.lm is not None
+                        or self.models.tlg_dir is not None):
+                    slot.lm_decoder = (
+                        self.models._svs_lm_decoder(hotwords or None)
+                        if svs else self.models._make_lm_decoder(
+                            hotwords or None))
+                if hotwords and svs:
+                    # SVS hotword biasing rides the context graph in
+                    # the CTC beam (sensevoice-small.cpp:392-440) —
+                    # compiled once per connection, shared read-only
+                    slot.svs_context = \
+                        self.models.svs_context_graph(hotwords)
                 return sid
         raise EngineAtCapacity(
             f"engine at capacity ({self.capacity} streams)")
@@ -1355,11 +1359,14 @@ class StreamEngine:
         segs = [fr.data for _, _, fr in pairs]
         if isinstance(self.offline.asr, SenseVoiceOffline):
             # SenseVoice pass-2: per-item lang/itn prefix ids + hotword
-            # context graphs (per-connection bias, compiled at open())
+            # context graphs + optional per-connection TLG rescoring
+            kw = {}
+            if any(s.lm_decoder is not None for s in slots):
+                kw["lm_decoders"] = [s.lm_decoder for s in slots]
             outs = self.offline.asr.recognize_batch(
                 segs, langs=[s.svs_lang for s in slots],
                 itn_flags=[s.svs_itn for s in slots],
-                contexts=[s.svs_context for s in slots])
+                contexts=[s.svs_context for s in slots], **kw)
         else:
             kw = {}
             if any(s.hw_emb is not None for s in slots):

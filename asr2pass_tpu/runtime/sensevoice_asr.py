@@ -62,7 +62,7 @@ class SenseVoiceOffline:
     def __init__(self, params, cfg: SenseVoiceConfig, vocab: Vocab,
                  cmvn=None, lang: str = "auto", use_itn_token: bool = True,
                  context: Optional[ContextGraph] = None, beam: int = 0,
-                 tp_mesh=None):
+                 lm_decoder=None, tp_mesh=None):
         # Megatron-sharded params over a ("dp","tp") mesh when given —
         # the north-star pod-scale SenseVoice pass-2 (BASELINE config 5);
         # GSPMD derives the collectives from the shardings
@@ -79,6 +79,13 @@ class SenseVoiceOffline:
         self.use_itn_token = use_itn_token
         self.context = context
         self.beam = beam
+        # optional WFST/LM rescoring over the raw CTC frames — needs a
+        # CTC-topology graph (tools/build_tlg.py --ctc-blank; the
+        # reference drives the same frame-synchronous search for SVS,
+        # sensevoice-small.cpp:442-494 + wfst-decoder.cpp:95-145). LM
+        # items fetch full [T, V] logits (the decoder consumes whole
+        # rows), so this is a per-connection opt-in, not the default.
+        self.lm_decoder = lm_decoder
 
     def set_lang(self, lang: str):
         self.lang = lang
@@ -97,7 +104,8 @@ class SenseVoiceOffline:
     def dispatch_batch(self, segments: List[np.ndarray], hw_emb=None,
                        langs: Optional[List[Optional[str]]] = None,
                        itn_flags: Optional[List[Optional[bool]]] = None,
-                       contexts: Optional[List] = None):
+                       contexts: Optional[List] = None,
+                       lm_decoders: Optional[List] = None):
         """Phase A: front-end + device DISPATCH only. Returns
         (pending, handles); `handles` are the device arrays finish_batch
         needs — the engine's fused tick batches their fetch with every
@@ -112,6 +120,12 @@ class SenseVoiceOffline:
         means, vars_ = self.cmvn
         feats = offline_frontend_batch(segments, self.cfg.frontend,
                                        means, vars_)
+
+        def lm_for(i):
+            if lm_decoders is not None and lm_decoders[i] is not None:
+                return lm_decoders[i]
+            return self.lm_decoder
+
         results: List[Optional[Tuple[str, list]]] = [None] * len(feats)
         metas: List[Optional[List[int]]] = [None] * len(feats)
         groups = {}
@@ -154,9 +168,13 @@ class SenseVoiceOffline:
             ids, counts, meta = sensevoice.greedy_ids(
                 out, blank_id=self.cfg.blank_id)
             hlist = [ids, counts, meta, out.lengths]
+            any_lm = any(lm_for(i) is not None for i in idxs)
+            if any_lm:
+                hlist.append(out.logits)
             beam_items = [i for i in idxs
-                          if self.beam > 1
-                          or self._ctx_for(contexts, i) is not None]
+                          if lm_for(i) is None
+                          and (self.beam > 1
+                               or self._ctx_for(contexts, i) is not None)]
             hw_ids: List[int] = []
             if beam_items:
                 # device first-prune (per-frame candidate set) — sharded
@@ -198,11 +216,11 @@ class SenseVoiceOffline:
                     hlist.append(ctc_gather_logp(
                         out.logits, jnp.asarray(padded, jnp.int32)))
             records.append({"idxs": idxs, "beam": bool(beam_items),
-                            "hw_ids": hw_ids, "off": len(handles),
-                            "n": len(hlist)})
+                            "any_lm": any_lm, "hw_ids": hw_ids,
+                            "off": len(handles), "n": len(hlist)})
             handles.extend(hlist)
         pending = {"records": records, "results": results, "metas": metas,
-                   "contexts": contexts}
+                   "contexts": contexts, "lm_for": lm_for}
         return pending, handles
 
     def finish_batch(self, pending, fetched, with_meta: bool = False):
@@ -212,6 +230,7 @@ class SenseVoiceOffline:
         results = pending["results"]
         metas = pending["metas"]
         contexts = pending["contexts"]
+        lm_for = pending["lm_for"]
         for rec in pending["records"]:
             idxs = rec["idxs"]
             vals = list(fetched[rec["off"]: rec["off"] + rec["n"]])
@@ -219,6 +238,9 @@ class SenseVoiceOffline:
             counts = np.asarray(vals.pop(0))
             meta = np.asarray(vals.pop(0))
             lengths = np.asarray(vals.pop(0))
+            logits_np = None
+            if rec["any_lm"]:
+                logits_np = np.asarray(vals.pop(0), np.float32)
             cid = clp = hw_lp = None
             if rec["beam"]:
                 cid = np.asarray(vals.pop(0))
@@ -227,6 +249,19 @@ class SenseVoiceOffline:
                     hw_lp = np.asarray(vals.pop(0), np.float32)
             for k, i in enumerate(idxs):
                 ctx = self._ctx_for(contexts, i)
+                lm = lm_for(i)
+                if lm is not None:
+                    # WFST frame-synchronous search over the raw CTC
+                    # log-probs (meta rows stripped); the graph's T
+                    # layer absorbs blanks/repeats
+                    ln = int(lengths[k])
+                    rows = logits_np[k, NUM_META:ln]
+                    rows = rows - _logsumexp(rows)
+                    lm.start_utterance()
+                    text = lm.decode(rows, self.vocab.id2token)
+                    metas[i] = [int(x) for x in meta[k]]
+                    results[i] = (text, [])
+                    continue
                 if self.beam > 1 or ctx is not None:
                     from asr2pass_tpu.decode.ctc import (
                         ctc_prefix_beam_search_pruned,
@@ -263,6 +298,7 @@ class SenseVoiceOffline:
                         langs: Optional[List[Optional[str]]] = None,
                         itn_flags: Optional[List[Optional[bool]]] = None,
                         contexts: Optional[List] = None,
+                        lm_decoders: Optional[List] = None,
                         with_meta: bool = False
                         ) -> List[Tuple[str, list]]:
         """langs[i]/itn_flags[i]/contexts[i] override the recognizer-level
@@ -274,13 +310,18 @@ class SenseVoiceOffline:
         result tuples."""
         pending, handles = self.dispatch_batch(
             segments, hw_emb=hw_emb, langs=langs, itn_flags=itn_flags,
-            contexts=contexts)
+            contexts=contexts, lm_decoders=lm_decoders)
         fetched = jax.device_get(tuple(handles)) if handles else ()
         return self.finish_batch(pending, fetched, with_meta=with_meta)
 
     def recognize(self, samples: np.ndarray, hw_emb=None
                   ) -> Tuple[str, list]:
         return self.recognize_batch([samples], hw_emb)[0]
+
+
+def _logsumexp(x: np.ndarray) -> np.ndarray:
+    m = x.max(axis=-1, keepdims=True)
+    return m + np.log(np.exp(x - m).sum(axis=-1, keepdims=True))
 
 
 def _merge_candidates(cid: np.ndarray, clp: np.ndarray,

@@ -85,10 +85,12 @@ class ServerModels:
         # decode-graph resources load ONCE and are shared read-only by
         # every connection (FunASRWfstDecoderInit contract,
         # funasrruntime.cpp:836-894); per-connection work is the hotword
-        # bias attach + beam state only
+        # bias attach + beam state only. Caches keyed per vocab role:
+        # the ilabel gather map / unit tokenization differ between the
+        # Paraformer ("asr") and SenseVoice ("svs") vocabularies.
         self._res_lock = threading.RLock()
-        self._tlg_graph_cache = None
-        self._lm_base_cache = None
+        self._tlg_graph_cache = {}
+        self._lm_base_cache = {}
         self._offline_rec_cache: "OrderedDict" = OrderedDict()
         # tp-sharded param trees, built ONCE: every recognizer
         # construction would otherwise device_put a fresh sharded copy of
@@ -141,15 +143,28 @@ class ServerModels:
         return ContextGraph().build(
             {str(w): float(s) for w, s in hotwords.items()})
 
-    def _make_lm_decoder(self, hotwords: Optional[dict] = None):
+    def _svs_lm_decoder(self, hotwords: Optional[dict] = None):
+        """WFST rescoring for SenseVoice: only a TLG graph qualifies —
+        the frame-synchronous CTC search needs the blank/repeat topology
+        (tools/build_tlg.py --ctc-blank); the trie LM decoder consumes
+        per-token rows and stays Paraformer-only."""
+        if self.tlg_dir is None:
+            return None
+        return self._make_lm_decoder(hotwords, which="svs")
+
+    def _make_lm_decoder(self, hotwords: Optional[dict] = None,
+                         which: str = "asr"):
+        vocab = (self.svs_vocab or self.vocab) if which == "svs" \
+            else self.vocab
         if self.tlg_dir is not None:
             from asr2pass_tpu.decode.tlg import TlgDecoder, TlgGraph
 
             with self._res_lock:
-                if self._tlg_graph_cache is None:
-                    self._tlg_graph_cache = TlgGraph(
-                        self.tlg_dir, self.vocab.token2id)
-            return TlgDecoder(self._tlg_graph_cache, self.vocab.token2id,
+                if which not in self._tlg_graph_cache:
+                    self._tlg_graph_cache[which] = TlgGraph(
+                        self.tlg_dir, vocab.token2id)
+            return TlgDecoder(self._tlg_graph_cache[which],
+                              vocab.token2id,
                               lm_weight=self.lm_weight, hotwords=hotwords)
         if self.lm is None or self.lexicon is None:
             return None
@@ -161,11 +176,11 @@ class ServerModels:
 
             if available():
                 with self._res_lock:
-                    if self._lm_base_cache is None:
-                        self._lm_base_cache = NativeLmDecoder(
-                            self.lm, self.lexicon, self.vocab.token2id,
+                    if which not in self._lm_base_cache:
+                        self._lm_base_cache[which] = NativeLmDecoder(
+                            self.lm, self.lexicon, vocab.token2id,
                             lm_weight=self.lm_weight)
-                base = self._lm_base_cache
+                base = self._lm_base_cache[which]
                 # hotword-less connections share the base decoder
                 # (decode keeps all search state call-local); hotworded
                 # ones get an O(1) clone over the shared tables
@@ -216,6 +231,7 @@ class ServerModels:
                     lang=svs_lang, use_itn_token=svs_itn,
                     context=self.svs_context_graph(hotwords),
                     beam=self.svs_beam,
+                    lm_decoder=self._svs_lm_decoder(hotwords),
                     tp_mesh=self.tp_mesh,
                 )
             else:
@@ -251,6 +267,7 @@ class ServerModels:
                 cmvn=self.svs_cmvn, lang=svs_lang, use_itn_token=svs_itn,
                 context=self.svs_context_graph(hotwords),
                 beam=self.svs_beam,
+                lm_decoder=self._svs_lm_decoder(hotwords),
                 tp_mesh=self.tp_mesh,
             )
         else:

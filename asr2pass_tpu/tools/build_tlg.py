@@ -32,8 +32,17 @@ BOS, EOS = "<s>", "</s>"
 
 
 def build_tlg(lm: NgramLM, word_units: Dict[str, Sequence[str]],
-              out_dir: str):
-    """word_units: word -> AM unit sequence (the L lexicon)."""
+              out_dir: str, ctc_blank: str = None):
+    """word_units: word -> AM unit sequence (the L lexicon).
+
+    ctc_blank: when given (the blank unit's token string, e.g.
+    "<blank>"), the graph gets the CTC frame-synchronous topology — a
+    blank self-loop on every state and a repeat self-loop on every arc
+    destination — so frame-level CTC posteriors decode directly (the
+    graph the reference's WfstDecoder::CtcSearch drives for SenseVoice,
+    wfst-decoder.cpp:95-145: every frame's row is accepted and the T
+    layer absorbs blanks/repeats). Without it the graph expects one row
+    per emitted token (the Paraformer path)."""
     os.makedirs(out_dir, exist_ok=True)
     words = sorted(w for w in word_units if w not in (BOS, EOS))
     word_ids = {w: i + 1 for i, w in enumerate(words)}  # 0 = eps
@@ -95,6 +104,21 @@ def build_tlg(lm: NgramLM, word_units: Dict[str, Sequence[str]],
     if (EOS,) in lm.logp:
         b.set_final(state_of(()), -lm.logp[(EOS,)])
 
+    if ctc_blank is not None:
+        # CTC topology: blank self-loops everywhere + repeat self-loops
+        # at every non-eps arc's destination (the collapse rule)
+        blank_il = len(units) + 1
+        unit_ids[ctc_blank] = blank_il
+        repeats = set()
+        for src in range(len(b.arcs)):
+            for il, _ol, _w, dst in b.arcs[src]:
+                if il != 0:
+                    repeats.add((dst, il))
+        for s in range(len(b.arcs)):
+            b.add_arc(s, blank_il, 0, 0.0, s)
+        for dst, il in repeats:
+            b.add_arc(dst, il, 0, 0.0, dst)
+
     b.write(os.path.join(out_dir, "TLG.fst"))
     with open(os.path.join(out_dir, "words.txt"), "w",
               encoding="utf-8") as f:
@@ -115,6 +139,10 @@ def main(argv=None):
     p.add_argument("--lexicon", help="TSV: word unit1 unit2 ... "
                                      "(default: char-level over LM vocab)")
     p.add_argument("--out", required=True)
+    p.add_argument("--ctc-blank", default=None,
+                   help="build the CTC frame-synchronous topology (blank"
+                        " + repeat self-loops) with this blank token, "
+                        "e.g. '<blank>' — for SenseVoice/CTC decoding")
     args = p.parse_args(argv)
     lm = NgramLM.load_arpa(args.arpa)
     if args.lexicon:
@@ -127,7 +155,7 @@ def main(argv=None):
     else:
         word_units = {w: list(w) for w in lm.vocab
                       if w not in (BOS, EOS, "<unk>")}
-    build_tlg(lm, word_units, args.out)
+    build_tlg(lm, word_units, args.out, ctc_blank=args.ctc_blank)
     print(f"TLG graph -> {args.out}")
     return 0
 

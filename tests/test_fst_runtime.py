@@ -376,3 +376,45 @@ def test_server_models_share_tlg_graph(tmp_path, monkeypatch):
         d.start_utterance()
         texts.add(d.decode(rows))
     assert texts == {"你好世界"}              # shared graph decodes right
+
+
+def test_build_tlg_ctc_topology_decodes_frames(tmp_path):
+    """--ctc-blank builds the frame-synchronous topology (blank + repeat
+    self-loops): raw CTC frame posteriors with blanks and repeated
+    frames decode to the collapsed word sequence — the graph the
+    reference's WfstDecoder::CtcSearch drives for SenseVoice
+    (wfst-decoder.cpp:95-145, sensevoice-small.cpp:442-494)."""
+    from asr2pass_tpu.decode.ngram import NgramLM
+    from asr2pass_tpu.decode.tlg import TlgDecoder
+    from asr2pass_tpu.tools.build_tlg import build_tlg
+
+    word_sents = [["你好", "世界"], ["你好", "朋友"], ["世界", "很大"]] * 3
+    lm = NgramLM.train(word_sents, order=2)
+    words = sorted({w for s in word_sents for w in s})
+    gdir = str(tmp_path / "ctc_graph")
+    build_tlg(lm, {w: list(w) for w in words}, gdir,
+              ctc_blank="<blank>")
+    with open(gdir + "/tokens.txt", encoding="utf-8") as f:
+        assert "<blank>" in f.read()
+
+    chars = sorted({c for w in words for c in w})
+    token2id = {c: i + 4 for i, c in enumerate(chars)}
+    token2id.update({"<blank>": 0, "<s>": 1, "</s>": 2, "<unk>": 3})
+    vocab_size = len(token2id)
+
+    def frame_rows(seq):
+        rows = np.full((len(seq), vocab_size), np.log(1e-4), np.float32)
+        for i, tok in enumerate(seq):
+            rows[i, token2id[tok]] = np.log(0.99)
+        return rows
+
+    tlg = TlgDecoder(gdir, token2id, lm_weight=0.5)
+    B = "<blank>"
+    cases = [
+        (["你", "你", B, "好", B, B, "世", "界", "界", B], "你好世界"),
+        ([B, "你", "好", "朋", "朋", B, "友"], "你好朋友"),
+        (["世", B, "界", "很", B, "大", B, B], "世界很大"),
+    ]
+    for seq, want in cases:
+        tlg.start_utterance()
+        assert tlg.decode(frame_rows(seq)) == want

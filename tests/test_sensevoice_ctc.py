@@ -325,3 +325,87 @@ def test_recognizer_per_item_contexts():
     outs = rec.recognize_batch([wave, wave], contexts=[cg, None])
     assert outs[1][0] == base            # un-contexted item unchanged
     assert outs[0][0] != base            # a strong bias changes the text
+
+
+def test_svs_tlg_rescoring_end_to_end(tmp_path):
+    """SenseVoice + TLG WFST rescoring (the reference's BeamSearch path,
+    sensevoice-small.cpp:442-494): a CTC-topology graph
+    (build_tlg --ctc-blank) constrains the SVS decode to the graph's
+    lexicon; the recognizer fetches full logits ONLY for LM items and a
+    mixed batch keeps non-LM items on the device-greedy path."""
+    import pytest as _pytest
+
+    from asr2pass_tpu.decode.ngram import NgramLM
+    from asr2pass_tpu.decode.tlg import TlgDecoder
+    from asr2pass_tpu.native.bindings import available
+    from asr2pass_tpu.tools.build_tlg import build_tlg
+
+    if not available():
+        _pytest.skip("native lib unavailable")
+    cfg = sensevoice_tiny()
+    params = sensevoice.init(jax.random.PRNGKey(0), cfg)
+    vocab = make_test_vocab(cfg.vocab_size)
+    t = vocab.id2token
+    words = [t(7) + t(9), t(10) + t(11), t(12) + t(13)]
+    lm = NgramLM.train([[w] for w in words] * 2, order=2)
+    gdir = str(tmp_path / "svs_graph")
+    build_tlg(lm, {w: list(w) for w in words}, gdir, ctc_blank="<blank>")
+    tlg = TlgDecoder(gdir, vocab.token2id, lm_weight=0.5)
+
+    rng = np.random.default_rng(3)
+    wave = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    base_rec = SenseVoiceOffline(params, cfg, vocab, lang="zh")
+    base, _ = base_rec.recognize(wave)
+
+    rec = SenseVoiceOffline(params, cfg, vocab, lang="zh",
+                            lm_decoder=tlg)
+    text, _ = rec.recognize(wave)
+    allowed = set("".join(words))
+    assert isinstance(text, str)
+    assert set(text) <= allowed          # constrained to the graph
+    # mixed batch: per-item lm_decoders — item 0 constrained, item 1
+    # rides the on-device greedy path unchanged
+    tlg2 = TlgDecoder(gdir, vocab.token2id, lm_weight=0.5)
+    outs = base_rec.recognize_batch([wave, wave],
+                                    lm_decoders=[tlg2, None])
+    assert set(outs[0][0]) <= allowed
+    assert outs[1][0] == base
+
+
+def test_server_models_svs_tlg_wiring(tmp_path):
+    """--lm-dir (TLG) + --svs-dir compose: the SVS recognizer gets a
+    per-vocab TLG decoder; the engine's per-slot decoders come from the
+    svs cache slot (different ilabel gather map than the Paraformer's)."""
+    import pytest as _pytest
+
+    from asr2pass_tpu.config import VadConfig, paraformer_tiny
+    from asr2pass_tpu.decode.ngram import NgramLM
+    from asr2pass_tpu.models import fsmn_vad, paraformer
+    from asr2pass_tpu.native.bindings import available
+    from asr2pass_tpu.server.engine import ServerModels
+    from asr2pass_tpu.tools.build_tlg import build_tlg
+
+    if not available():
+        _pytest.skip("native lib unavailable")
+    cfg = sensevoice_tiny()
+    vocab = make_test_vocab(cfg.vocab_size)
+    t = vocab.id2token
+    words = [t(7) + t(9), t(10) + t(11)]
+    lm = NgramLM.train([[w] for w in words] * 2, order=2)
+    gdir = str(tmp_path / "graph")
+    build_tlg(lm, {w: list(w) for w in words}, gdir, ctc_blank="<blank>")
+
+    acfg = paraformer_tiny()
+    m = ServerModels(
+        asr_params=paraformer.init(jax.random.PRNGKey(0), acfg),
+        asr_cfg=acfg, vocab=make_test_vocab(acfg.vocab_size),
+        vad_params=fsmn_vad.init(jax.random.PRNGKey(1), VadConfig()),
+        vad_cfg=VadConfig(),
+        svs_params=sensevoice.init(jax.random.PRNGKey(7), cfg),
+        svs_cfg=cfg, svs_vocab=vocab, tlg_dir=gdir)
+    rec = m.create_offline_recognizer(use_svs=True)
+    assert rec.asr.lm_decoder is not None
+    res = rec.transcribe(
+        (np.random.default_rng(5).standard_normal(16000) * 0.1
+         ).astype(np.float32))
+    assert set(res.text) <= set("".join(words)) | {" "}
