@@ -165,6 +165,7 @@ def bench_engine(args):
         models.svs_params = init_s(jax.random.PRNGKey(3))
         models.svs_cfg = scfg
         models.svs_vocab = make_test_vocab(scfg.vocab_size)
+        models.svs_beam = args.svs_beam
     s = args.streams
     eng = StreamEngine(models, capacity=s, pass2_async=args.pass2_async,
                        vad_async=args.vad_async,
@@ -273,6 +274,7 @@ def bench_engine(args):
         "adversarial": bool(args.adversarial),
         "wav_replay": bool(args.wav_dir),
         "svs": bool(args.svs),
+        "svs_beam": int(args.svs_beam),
         "upload_overlap": bool(args.upload_overlap),
         "decide_async": bool(args.decide_async),
     }
@@ -387,6 +389,10 @@ def main():
     ap.add_argument("--svs", action="store_true",
                     help="engine mode: SenseVoice-small pass-2 instead of "
                          "the offline Paraformer (MODEL_SVS serving)")
+    ap.add_argument("--svs-beam", type=int, default=0,
+                    help="engine --svs: CTC prefix-beam width (0=greedy; "
+                         "beam decodes ride the device first-prune + the "
+                         "native C++ beam)")
     ap.add_argument("--decide-async", action="store_true",
                     help="engine mode: run the VAD automaton/splitter "
                          "pass on the decide lane (overlaps the next "
