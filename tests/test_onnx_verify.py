@@ -603,3 +603,42 @@ def test_punc_online_autodetect_from_4_input_graph(tmp_path):
                                       for k, v in sd.items()})
     diff = verify_against_onnx(str(src), params, "punc")  # not punc_online
     assert diff < 1e-3
+
+
+def test_svs_migration_chain_convert_load_decode(tmp_path):
+    """The full SVS migration path a reference user runs: FunASR-layout
+    dir -> convert_funasr --verify -> load_svs_bundle -> recognize. The
+    converted dir's config.yaml (copied from the source) must parse into
+    a SenseVoiceConfig that drives the converted weights correctly."""
+    from asr2pass_tpu.runtime.model_zoo import load_svs_bundle
+    from asr2pass_tpu.runtime.sensevoice_asr import SenseVoiceOffline
+    from asr2pass_tpu.tools import convert_funasr
+
+    m = _make_svs_module(seed=9)
+    src = tmp_path / "svs_mig_src"
+    src.mkdir()
+    _export_svs_dir(src, m)
+    # a real FunASR SVS dir carries the full encoder_conf; mirror that
+    (src / "config.yaml").write_text(
+        "encoder_conf:\n"
+        "  output_size: 32\n"
+        "  num_blocks: 3\n"
+        "  attention_heads: 4\n"
+        "  linear_units: 48\n"
+        "frontend_conf:\n"
+        "  n_mels: 20\n"
+        "  lfr_m: 1\n"
+        "  lfr_n: 1\n"
+        "vocab_size: 50\n")
+    dst = tmp_path / "svs_mig_dst"
+    rc = convert_funasr.main([str(src), str(dst), "--verify"])
+    assert rc == 0
+    b = load_svs_bundle(str(dst))
+    assert b.cfg.encoder.output_size == 32
+    assert b.cfg.encoder.num_blocks == 3
+    assert b.cfg.vocab_size == 50
+    rec = SenseVoiceOffline(b.params, b.cfg, b.vocab, lang="zh")
+    text, _ = rec.recognize(
+        (np.random.default_rng(0).standard_normal(8000) * 0.1
+         ).astype(np.float32))
+    assert isinstance(text, str)

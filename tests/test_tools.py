@@ -111,3 +111,44 @@ def test_segment_filter_cross_model_gate():
     cross2.asr.recognize_batch = lambda sa: [("你好世界的", [])]
     kept2 = filter_segments(primary2, wave, 16000, cross_recognizer=cross2)
     assert len(kept2) == 1 and kept2[0][3] <= 0.30
+
+
+def test_eval_cer_svs_dir_path(tmp_path):
+    """tools/eval_cer --svs-dir: the SenseVoice in-process scoring path
+    produces a CER report (mechanics; accuracy gating is CI'd on the
+    learned model in test_learned_e2e)."""
+    import wave as wave_mod
+
+    import jax
+    import numpy as np
+
+    from asr2pass_tpu.config import sensevoice_tiny
+    from asr2pass_tpu.models import sensevoice
+    from asr2pass_tpu.runtime.model_zoo import save_svs_bundle
+    from asr2pass_tpu.text.vocab import make_test_vocab
+    from asr2pass_tpu.tools import eval_cer
+
+    cfg = sensevoice_tiny()
+    vocab = make_test_vocab(cfg.vocab_size)
+    d = str(tmp_path / "svs")
+    save_svs_bundle(d, sensevoice.init(jax.random.PRNGKey(0), cfg), cfg,
+                    vocab.tokens)
+    wav_path = tmp_path / "u0.wav"
+    samples = (np.random.default_rng(3).standard_normal(16000) * 0.1
+               ).clip(-1, 1)
+    with wave_mod.open(str(wav_path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((samples * 32767).astype("<i2").tobytes())
+    (tmp_path / "wav.scp").write_text(f"u0 {wav_path}\n")
+    (tmp_path / "text").write_text("u0 一七\n")
+    report = tmp_path / "cer.json"
+    rc = eval_cer.main(["--scp", str(tmp_path / "wav.scp"),
+                        "--ref", str(tmp_path / "text"),
+                        "--svs-dir", d, "--out", str(report)])
+    assert rc == 0
+    import json as _json
+
+    rep = _json.loads(report.read_text(encoding="utf-8"))
+    assert rep["sentences"] == 1
