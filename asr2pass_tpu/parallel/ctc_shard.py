@@ -44,6 +44,27 @@ def ctc_first_prune(logits, k: int = 64):
     return _prune_plain(min(k, logits.shape[-1]))(logits)
 
 
+@functools.lru_cache(maxsize=8)
+def _prune_gather(k: int):
+    @jax.jit
+    def fn(logits, ids):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        scores, top = jax.lax.top_k(logp, k)
+        return top, scores, jnp.take(logp, ids, axis=-1)
+
+    return fn
+
+
+def ctc_first_prune_gather(logits, ids, k: int = 64):
+    """Fused first-prune + explicit-id gather: ONE log-softmax pass over
+    [B, T, V] serves both the top-k candidate set and the force-included
+    context-unit log-probs — a separate ctc_gather_logp dispatch would
+    re-normalize the full logits tensor a second time (V≈25k at
+    production vocab) just to read a handful of columns."""
+    return _prune_gather(min(k, logits.shape[-1]))(
+        logits, jnp.asarray(ids, jnp.int32))
+
+
 @jax.jit
 def ctc_gather_logp(logits, ids):
     """Globally-normalized log-probs of an EXPLICIT id set for every

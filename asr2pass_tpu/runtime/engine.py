@@ -577,25 +577,34 @@ class StreamEngine:
         # zero the batched device state for this slot
         self._clear_device_slot(sid)
 
-    def _clear_p1_device(self, sid: int):
-        """Zero one slot's pass-1 device columns (online model caches +
-        mel history). Used on slot reclaim AND on ring-overrun quarantine
-        — after the host backlog is dropped the device caches no longer
-        correspond to any staged audio, so the next utterance must start
-        from a clean encoder/decoder state."""
-        z1 = paraformer_online.init_state(self.oparams, self.ocfg, 1)
+    def _clear_p1_device(self, sids):
+        """Zero the pass-1 device columns (online model caches + mel
+        history) of one OR MANY slots in a single batched update — the
+        fresh state is all-zero, so these are scalar-fill scatters, and
+        batching keeps the ring-overrun quarantine at one fixed set of
+        dispatches per tick no matter how many slots overran (each eager
+        dispatch is a tunnel round-trip; per-slot clears were a latency
+        feedback loop exactly when the engine was already late). Used on
+        slot reclaim AND on quarantine — after the host backlog is
+        dropped the device caches no longer correspond to any staged
+        audio, so the next utterance must start from a clean state."""
+        if not isinstance(sids, (list, tuple)):
+            sids = [sids]
+        if not sids:
+            return
+        idx = np.asarray(sids, np.int32)
         s = self.online_state
         self.online_state = paraformer_online.OnlineState(
-            feats_cache=s.feats_cache.at[sid].set(z1.feats_cache[0]),
-            pos=s.pos.at[sid].set(0),
-            cif_integrate=s.cif_integrate.at[sid].set(0.0),
-            cif_frame=s.cif_frame.at[sid].set(z1.cif_frame[0]),
-            dec_caches=s.dec_caches.at[:, sid].set(z1.dec_caches[:, 0]),
+            feats_cache=s.feats_cache.at[idx].set(0.0),
+            pos=s.pos.at[idx].set(0),
+            cif_integrate=s.cif_integrate.at[idx].set(0.0),
+            cif_frame=s.cif_frame.at[idx].set(0.0),
+            dec_caches=s.dec_caches.at[:, idx].set(0.0),
         )
-        self._p1_hist = self._p1_hist.at[sid].set(0.0)
+        self._p1_hist = self._p1_hist.at[idx].set(0.0)
 
     def _clear_device_slot(self, sid: int):
-        self._clear_p1_device(sid)
+        self._clear_p1_device([sid])
         self.vad_caches = [c.at[sid].set(0.0) for c in self.vad_caches]
         self._vad_hist = self._vad_hist.at[sid].set(0.0)
         self._vad_total[sid] = 0
@@ -1049,6 +1058,7 @@ class StreamEngine:
             consume_count = np.zeros(cap, np.int32)
             finals = np.zeros(cap, bool)
             todo = []
+            quarantined = []
             more = False
             # staging scan under the publish lock: a mid-publish VAD
             # batch is invisible, so each pass-1 dispatch carries a FULL
@@ -1090,10 +1100,10 @@ class StreamEngine:
                         slot.p1_ring_r = slot.p1_ring_w
                         # the device columns (online caches, mel history)
                         # and the streaming detok no longer correspond to
-                        # any staged audio — zero them so the NEXT
-                        # utterance decodes from clean state instead of a
-                        # stale encoder/detok carry
-                        self._clear_p1_device(sid)
+                        # any staged audio — cleared (BATCHED, after the
+                        # scan) so the NEXT utterance decodes from clean
+                        # state instead of a stale encoder/detok carry
+                        quarantined.append(sid)
                         slot.vocab.reset_streaming()
                         win_start[sid] = 0
                         total_new[sid] = 0
@@ -1178,6 +1188,7 @@ class StreamEngine:
                 if (slot.p1_groups or slot.p1_flush_at is not None
                         or slot.p1_ring_w - slot.p1_ring_r >= c):
                     more = True
+            self._clear_p1_device(quarantined)
             if not todo and not n_new.any():
                 return deferred
             (self.online_state, ids, nums, self._p1_hist,

@@ -184,19 +184,11 @@ class SenseVoiceOffline:
                 # candidates cross the wire instead of [T, V] logits
                 from asr2pass_tpu.parallel.ctc_shard import (
                     ctc_first_prune,
+                    ctc_first_prune_gather,
                     ctc_first_prune_sharded,
                     ctc_gather_logp,
                 )
 
-                v = out.logits.shape[-1]
-                if (self.tp_mesh is not None
-                        and v % self.tp_mesh.shape["tp"] == 0):
-                    cid, clp = ctc_first_prune_sharded(
-                        out.logits, self.tp_mesh, "tp", k=_KCAND)
-                else:
-                    cid, clp = ctc_first_prune(out.logits, k=_KCAND)
-                hlist.append(cid)
-                hlist.append(clp)
                 # force-include every context unit id so the top-k prune
                 # can never hide a hotword token from the bias (the
                 # reference biases the FULL-vocab beam,
@@ -206,6 +198,7 @@ class SenseVoiceOffline:
                     uniq.update(context_unit_ids(
                         self._ctx_for(contexts, i), self.vocab.token2id))
                 hw_ids = sorted(uniq)
+                padded = None
                 if hw_ids:
                     # pad to a power of two: one compiled gather program
                     # per (bucket, padded-E) instead of per hotword list
@@ -213,8 +206,28 @@ class SenseVoiceOffline:
                     while e < len(hw_ids):
                         e *= 2
                     padded = hw_ids + [hw_ids[0]] * (e - len(hw_ids))
-                    hlist.append(ctc_gather_logp(
-                        out.logits, jnp.asarray(padded, jnp.int32)))
+                v = out.logits.shape[-1]
+                if (self.tp_mesh is not None
+                        and v % self.tp_mesh.shape["tp"] == 0):
+                    cid, clp = ctc_first_prune_sharded(
+                        out.logits, self.tp_mesh, "tp", k=_KCAND)
+                    hlist.append(cid)
+                    hlist.append(clp)
+                    if padded is not None:
+                        # sharded case: the gather's re-normalization is
+                        # distributed across the tp shards (GSPMD)
+                        hlist.append(ctc_gather_logp(
+                            out.logits, jnp.asarray(padded, jnp.int32)))
+                elif padded is not None:
+                    # fused: one log-softmax pass serves the prune AND
+                    # the context-unit gather
+                    cid, clp, hw = ctc_first_prune_gather(
+                        out.logits, padded, k=_KCAND)
+                    hlist.extend([cid, clp, hw])
+                else:
+                    cid, clp = ctc_first_prune(out.logits, k=_KCAND)
+                    hlist.append(cid)
+                    hlist.append(clp)
             records.append({"idxs": idxs, "beam": bool(beam_items),
                             "any_lm": any_lm, "hw_ids": hw_ids,
                             "off": len(handles), "n": len(hlist)})

@@ -60,8 +60,10 @@ def build_tlg(lm: NgramLM, word_units: Dict[str, Sequence[str]],
     # histories = every context that predicts something
     hists = {()} | {ng[:-1] for ng in lm.logp} | set(lm.backoff)
     hists = {h for h in hists if len(h) < lm.order}
-    start_h = (BOS,) if (BOS,) in hists or any(
-        ng[0] == BOS for ng in lm.logp) else ()
+    # the BOS history is only a valid start if predictions exist FROM it
+    # (order >= 2); a unigram LM predicts from () — starting at a
+    # (BOS,) state with no outgoing arcs would dead-end the whole graph
+    start_h = (BOS,) if (BOS,) in hists else ()
     # start state: fresh state with an eps arc into the BOS history so
     # FstBuilder's fixed start (state 0) maps cleanly
     b.add_arc(b.start, 0, 0, 0.0, state_of(start_h))
@@ -77,6 +79,12 @@ def build_tlg(lm: NgramLM, word_units: Dict[str, Sequence[str]],
         if w == BOS or w not in word_ids:
             continue
         nh = lm.next_state(h, w)
+        # land on the longest suffix that actually predicts something:
+        # a history with no continuations would be a dead state (e.g.
+        # EVERY word under a unigram LM, where next_state reports
+        # ('w',) but only () exists)
+        while nh and nh not in hists:
+            nh = nh[1:]
         src = state_of(h)
         dst = state_of(nh)
         toks = [unit_ids[u] for u in word_units[w] if u in unit_ids]
@@ -105,19 +113,35 @@ def build_tlg(lm: NgramLM, word_units: Dict[str, Sequence[str]],
         b.set_final(state_of(()), -lm.logp[(EOS,)])
 
     if ctc_blank is not None:
-        # CTC topology: blank self-loops everywhere + repeat self-loops
-        # at every non-eps arc's destination (the collapse rule)
+        # CTC topology (the Eesen-style T layer): each unit emission gets
+        # its own "emitting" state r that absorbs repeat frames of THAT
+        # unit only; a blank (or an eps hop to the next different-unit
+        # arc) closes the token. Keying repeats per ARC — not per
+        # destination state — is what makes this a valid CTC graph: a
+        # destination reached by several units must not absorb other
+        # units' frames, and a unit re-emitted after a blank is a NEW
+        # token that pays its LM arc, never a free repeat.
+        # Known approximation: the eps arc r->dst permits same-unit
+        # re-emission without an intervening blank (which strict CTC
+        # collapses); it only ever over-accepts, and the blank-separated
+        # path scores identically or better for peaked posteriors.
         blank_il = len(units) + 1
         unit_ids[ctc_blank] = blank_il
-        repeats = set()
-        for src in range(len(b.arcs)):
-            for il, _ol, _w, dst in b.arcs[src]:
-                if il != 0:
-                    repeats.add((dst, il))
-        for s in range(len(b.arcs)):
-            b.add_arc(s, blank_il, 0, 0.0, s)
-        for dst, il in repeats:
-            b.add_arc(dst, il, 0, 0.0, dst)
+        n0 = len(b.arcs)
+        for src in range(n0):
+            kept = []
+            for il, ol, w, dst in list(b.arcs[src]):
+                if il == 0:
+                    kept.append((il, ol, w, dst))
+                    continue
+                r = b.new_state()
+                kept.append((il, ol, w, r))       # the emission frame
+                b.add_arc(r, il, 0, 0.0, r)       # repeat frames (same u)
+                b.add_arc(r, blank_il, 0, 0.0, dst)   # blank closes it
+                b.add_arc(r, 0, 0, 0.0, dst)      # straight to next token
+            b.arcs[src] = kept
+        for s in range(n0):
+            b.add_arc(s, blank_il, 0, 0.0, s)     # inter-token blanks
 
     b.write(os.path.join(out_dir, "TLG.fst"))
     with open(os.path.join(out_dir, "words.txt"), "w",

@@ -46,35 +46,13 @@ def _load_scp(path: str):
 
 
 def _hyps_in_process(args, utts):
-    """Transcribe through the in-process offline pipeline (the
-    tools/transcribe.py recognizer, or a SenseVoice recognizer when
-    --svs-dir is given)."""
+    """Transcribe through the in-process offline pipeline — ONE shared
+    builder with tools/transcribe.py, so --svs-dir composes with
+    --vad-dir/--punc-dir/--itn exactly like --model-dir does."""
     from asr2pass_tpu.frontend.audio import load_audio_file
+    from asr2pass_tpu.tools.transcribe import build_recognizer
 
-    if args.svs_dir:
-        from asr2pass_tpu.frontend.audio import parse_kaldi_cmvn
-        from asr2pass_tpu.config import VadConfig
-        from asr2pass_tpu.runtime.model_zoo import (load_params,
-                                                    load_svs_bundle)
-        from asr2pass_tpu.runtime.offline_api import OfflineRecognizer
-        from asr2pass_tpu.runtime.sensevoice_asr import SenseVoiceOffline
-
-        b = load_svs_bundle(args.svs_dir)
-        asr = SenseVoiceOffline(b.params, b.cfg, b.vocab, cmvn=b.cmvn)
-        vad_params = vad_cfg = vad_cmvn = None
-        if args.vad_dir:
-            vad_cfg = VadConfig()
-            vad_params = load_params(
-                os.path.join(args.vad_dir, "weights.npz"))
-            mvn = os.path.join(args.vad_dir, "am.mvn")
-            if os.path.exists(mvn):
-                vad_cmvn = parse_kaldi_cmvn(mvn)
-        rec = OfflineRecognizer(asr, vad_params=vad_params,
-                                vad_cfg=vad_cfg, vad_cmvn=vad_cmvn)
-    else:
-        from asr2pass_tpu.tools.transcribe import build_recognizer
-
-        rec = build_recognizer(args)
+    rec = build_recognizer(args)
     hyps = {}
     total_audio = 0.0
     for name, wav in utts:
@@ -97,12 +75,10 @@ def _hyps_server(args, utts):
     async def run():
         hyps = {}
         total = 0.0
-        from asr2pass_tpu.frontend.audio import load_audio_file
-
         for name, wav in utts:
-            total += len(load_audio_file(wav, args.fs)) / args.fs
             res = await client.transcribe_file(wav, wav_name=name)
             hyps[name] = res["text"]
+            total += res.get("audio_s", 0.0)
         return hyps, total
 
     return asyncio.run(run())

@@ -18,12 +18,23 @@ import time
 
 
 def build_recognizer(args):
+    """Offline pipeline from model-dir CLI args (shared by transcribe
+    and tools/eval_cer): Paraformer (--model-dir) or SenseVoice
+    (--svs-dir) pass-2, each composing with --vad-dir/--punc-dir/--itn
+    identically."""
     from asr2pass_tpu.runtime.model_zoo import load_offline_bundle, load_params
     from asr2pass_tpu.runtime.offline_api import OfflineRecognizer
     from asr2pass_tpu.runtime.offline_asr import ParaformerOffline
 
-    b = load_offline_bundle(args.model_dir)
-    asr = ParaformerOffline(b.params, b.cfg, b.vocab, cmvn=b.cmvn)
+    if getattr(args, "svs_dir", ""):
+        from asr2pass_tpu.runtime.model_zoo import load_svs_bundle
+        from asr2pass_tpu.runtime.sensevoice_asr import SenseVoiceOffline
+
+        b = load_svs_bundle(args.svs_dir)
+        asr = SenseVoiceOffline(b.params, b.cfg, b.vocab, cmvn=b.cmvn)
+    else:
+        b = load_offline_bundle(args.model_dir)
+        asr = ParaformerOffline(b.params, b.cfg, b.vocab, cmvn=b.cmvn)
     vad_params = vad_cfg = vad_cmvn = None
     if args.vad_dir:
         from asr2pass_tpu.config import VadConfig
@@ -57,13 +68,17 @@ def build_recognizer(args):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--scp", required=True)
-    p.add_argument("--model-dir", required=True)
+    p.add_argument("--model-dir", default="")
+    p.add_argument("--svs-dir", default="",
+                   help="SenseVoice model dir instead of --model-dir")
     p.add_argument("--vad-dir", default="")
     p.add_argument("--punc-dir", default="")
     p.add_argument("--itn", action="store_true")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--fs", type=int, default=16000)
     args = p.parse_args(argv)
+    if not args.model_dir and not args.svs_dir:
+        p.error("need --model-dir or --svs-dir")
 
     from asr2pass_tpu.frontend.audio import load_audio_file
 

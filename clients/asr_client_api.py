@@ -80,8 +80,10 @@ class AsrClient:
 
         wave = load_audio_file(path, self.audio_fs)
         pcm = (np.clip(wave, -1, 1) * 32767).astype("<i2").tobytes()
-        return await self.transcribe_pcm(
+        res = await self.transcribe_pcm(
             pcm, wav_name or os.path.basename(path))
+        res["audio_s"] = len(wave) / self.audio_fs
+        return res
 
 
 async def check_transcripts(url: str, scp_path: str, ref_text_path: str,

@@ -418,3 +418,43 @@ def test_build_tlg_ctc_topology_decodes_frames(tmp_path):
     for seq, want in cases:
         tlg.start_utterance()
         assert tlg.decode(frame_rows(seq)) == want
+
+
+def test_build_tlg_ctc_repeated_word_and_unigram(tmp_path):
+    """Review repro (round 5): a word re-emitted AFTER a blank is a new
+    token that must survive (frames [w, blank, w] -> 'ww'), while
+    repeats WITHOUT a blank collapse; and under a unigram LM (all words
+    share the history state) one word's frames must never be absorbed by
+    another word's repeat loop."""
+    from asr2pass_tpu.decode.ngram import NgramLM
+    from asr2pass_tpu.decode.tlg import TlgDecoder
+    from asr2pass_tpu.tools.build_tlg import build_tlg
+
+    word_sents = [["好", "好"], ["好", "大"], ["大", "好"]] * 2
+    token2id = {"<blank>": 0, "<s>": 1, "</s>": 2, "<unk>": 3,
+                "好": 4, "大": 5}
+    vocab_size = len(token2id)
+
+    def frame_rows(seq):
+        rows = np.full((len(seq), vocab_size), np.log(1e-4), np.float32)
+        for i, tok in enumerate(seq):
+            rows[i, token2id[tok]] = np.log(0.99)
+        return rows
+
+    B = "<blank>"
+    for order in (2, 1):
+        lm = NgramLM.train(word_sents, order=order)
+        gdir = str(tmp_path / f"ctc_o{order}")
+        build_tlg(lm, {"好": ["好"], "大": ["大"]}, gdir,
+                  ctc_blank="<blank>")
+        tlg = TlgDecoder(gdir, token2id, lm_weight=0.5)
+        cases = [
+            (["好", B, "好"], "好好"),     # re-emission survives
+            (["好", "好", "好", B], "好"),  # blankless repeats collapse
+            (["好", "大"], "好大"),         # no cross-word absorption
+            ([B, "大", "大", B, "好"], "大好"),
+        ]
+        for seq, want in cases:
+            tlg.start_utterance()
+            got = tlg.decode(frame_rows(seq))
+            assert got == want, (order, seq, got, want)

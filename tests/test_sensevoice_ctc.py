@@ -409,3 +409,26 @@ def test_server_models_svs_tlg_wiring(tmp_path):
         (np.random.default_rng(5).standard_normal(16000) * 0.1
          ).astype(np.float32))
     assert set(res.text) <= set("".join(words)) | {" "}
+
+
+def test_fused_prune_gather_matches_separate():
+    """ctc_first_prune_gather (one log-softmax pass) == separate
+    ctc_first_prune + ctc_gather_logp dispatches."""
+    from asr2pass_tpu.parallel.ctc_shard import (
+        ctc_first_prune,
+        ctc_first_prune_gather,
+        ctc_gather_logp,
+    )
+
+    rng = np.random.default_rng(23)
+    logits = jnp.asarray(rng.standard_normal((2, 9, 40))
+                         .astype(np.float32) * 2.0)
+    ids = [3, 17, 25, 38]
+    cid0, clp0 = ctc_first_prune(logits, k=8)
+    hw0 = ctc_gather_logp(logits, jnp.asarray(ids, jnp.int32))
+    cid1, clp1, hw1 = ctc_first_prune_gather(logits, ids, k=8)
+    np.testing.assert_array_equal(np.asarray(cid0), np.asarray(cid1))
+    np.testing.assert_allclose(np.asarray(clp0), np.asarray(clp1),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hw0), np.asarray(hw1),
+                               atol=1e-6)
