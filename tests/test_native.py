@@ -205,3 +205,39 @@ def test_native_ctc_beam_hotword_outside_topk():
         id_to_token=vocab.id2token, token2id=vocab.token2id,
         use_native=True)
     assert nat[0][0] == [4, 5]
+
+
+def test_native_ctc_beam_edge_shapes():
+    """Edge shapes parity + no-crash: empty utterance, K=1, beam=1,
+    all-blank frames, duplicate candidate ids."""
+    from asr2pass_tpu.decode.ctc import ctc_prefix_beam_search_pruned
+    from asr2pass_tpu.native import bindings as nb
+
+    if not nb.available():
+        pytest.skip("native lib unavailable")
+
+    def both(cid, clp, t, **kw):
+        py = ctc_prefix_beam_search_pruned(cid, clp, t,
+                                           use_native=False, **kw)
+        nat = ctc_prefix_beam_search_pruned(cid, clp, t,
+                                            use_native=True, **kw)
+        assert [p[0] for p in nat] == [p[0] for p in py]
+        np.testing.assert_allclose([p[1] for p in nat],
+                                   [p[1] for p in py], atol=1e-4)
+        return nat
+
+    z = np.zeros((1, 1), np.int32)
+    zl = np.zeros((1, 1), np.float32)
+    # empty utterance
+    out = both(z, zl, 0, beam=1, blank_id=0)
+    assert out[0][0] == []
+    # K=1 all-blank
+    cid = np.zeros((5, 1), np.int32)
+    clp = np.full((5, 1), -0.01, np.float32)
+    out = both(cid, clp, 5, beam=1, blank_id=0)
+    assert out[0][0] == []
+    # duplicate candidate ids in a frame (merge-candidates mask case)
+    rng = np.random.default_rng(2)
+    cid = rng.integers(0, 6, (8, 6)).astype(np.int32)
+    clp = (rng.standard_normal((8, 6)) - 1).astype(np.float32)
+    both(cid, clp, 8, beam=4, blank_id=0)
