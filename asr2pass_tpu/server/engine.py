@@ -203,7 +203,8 @@ class ServerModels:
                        hw_emb: Optional[np.ndarray] = None,
                        use_itn: bool = True, svs_lang: str = "auto",
                        svs_itn: bool = True, use_svs: bool = False,
-                       hotwords: Optional[dict] = None) -> TwoPassSession:
+                       hotwords: Optional[dict] = None,
+                       chunk_size=None) -> TwoPassSession:
         assert self.vad_params is not None, "2pass/online needs a VAD model"
         vad = FsmnVadStream(
             self.vad_params, self.vad_cfg, cmvn=self.vad_cmvn, online=True,
@@ -212,6 +213,15 @@ class ServerModels:
         online = None
         if mode != "offline":
             ocfg = self.online_cfg or self.asr_cfg
+            if chunk_size is not None \
+                    and tuple(chunk_size) != tuple(ocfg.chunk_size):
+                # per-connection chunk geometry (the reference plumbs the
+                # first message's chunk_size into the online config,
+                # websocket-server-2pass.cpp:424-523); a new geometry
+                # compiles its own streaming program
+                import dataclasses as _dc
+
+                ocfg = _dc.replace(ocfg, chunk_size=tuple(chunk_size))
             oparams = (self.online_params if self.online_params is not None
                        else self.asr_params)
             online = ParaformerOnlineStream(

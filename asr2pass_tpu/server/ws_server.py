@@ -85,6 +85,7 @@ class ConnectionState:
         self.hw_emb = None
         self.vad_tail_sil: Optional[int] = None
         self.vad_max_len: Optional[int] = None
+        self.chunk_size = None
         self.started = False
         self.engine_sid: Optional[int] = None
         self.engine_final = False
@@ -225,6 +226,15 @@ class AsrWsServer:
             st.svs_itn = bool(obj.get("svs_itn", st.svs_itn))
             st.vad_tail_sil = _safe_int(obj.get("vad_tail_sil"), None)
             st.vad_max_len = _safe_int(obj.get("vad_max_len"), None)
+            cs = obj.get("chunk_size")
+            if cs is not None:
+                try:
+                    cs = [int(x) for x in cs]
+                    assert len(cs) == 3 and all(x >= 0 for x in cs) \
+                        and cs[1] > 0
+                    st.chunk_size = cs
+                except (TypeError, ValueError, AssertionError):
+                    bad.append("chunk_size")
             try:
                 hotwords = _parse_hotwords(obj.get("hotwords"))
             except Exception:
@@ -255,7 +265,17 @@ class AsrWsServer:
                     svs_itn=st.svs_itn,
                     use_svs=self.models.svs_params is not None,
                     hotwords=hotwords,
+                    chunk_size=st.chunk_size,
                 )
+            elif (st.chunk_size is not None and self.use_engine
+                  and st.mode != "offline"):
+                # the batched engine shares ONE chunk geometry across
+                # all slots — a per-connection override cannot apply
+                ocfg = self.models.online_cfg or self.models.asr_cfg
+                if tuple(st.chunk_size) != tuple(ocfg.chunk_size):
+                    log.info("engine mode ignores per-connection "
+                             "chunk_size %s (engine geometry %s)",
+                             st.chunk_size, list(ocfg.chunk_size))
             st.started = True
         if obj.get("is_speaking") is False:
             if self.use_engine and st.mode != "offline":

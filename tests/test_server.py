@@ -705,3 +705,36 @@ def test_engine_ws_svs_hotword_end_to_end(models):
     plain, biased = asyncio.run(_with_engine_server(m, run))
     assert biased != plain
     assert hot in biased
+
+def test_per_connection_chunk_size_honored(models):
+    """The first message's chunk_size plumbs into the session's online
+    config (the reference builds the online model config from it,
+    websocket-server-2pass.cpp:424-523); malformed values degrade with
+    the usual error ack."""
+    sess = models.create_session(mode="2pass", chunk_size=[4, 8, 4])
+    assert tuple(sess.online_asr.cfg.chunk_size) == (4, 8, 4)
+    sess_def = models.create_session(mode="2pass")
+    assert tuple(sess_def.online_asr.cfg.chunk_size) == \
+        tuple((models.online_cfg or models.asr_cfg).chunk_size)
+
+    import websockets
+
+    async def run(port):
+        async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+            await ws.send(json.dumps({
+                "mode": "2pass", "chunk_size": [4, 8, "x"],
+                "wav_format": "pcm", "audio_fs": 16000,
+                "is_speaking": True}))
+            ack = json.loads(await asyncio.wait_for(ws.recv(), timeout=30))
+            assert "chunk_size" in ack.get("error", "")
+            # the session still serves with the default geometry
+            await ws.send(_pcm(1.2, seed=55))
+            await ws.send(json.dumps({"is_speaking": False}))
+            while True:
+                m = json.loads(await asyncio.wait_for(ws.recv(),
+                                                      timeout=120))
+                if m.get("is_final"):
+                    return m
+
+    final = asyncio.run(_with_server(models, run))
+    assert final["is_final"] is True
