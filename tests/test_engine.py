@@ -739,3 +739,36 @@ def test_decide_async_engine_matches_plain(models):
     assert text_of(rd, "2pass-offline") == text_of(rp, "2pass-offline")
     da.shutdown()
     plain.shutdown()
+
+
+def test_ring_overrun_quarantine_recovers(models):
+    """A slot whose pass-1 backlog outran the device audio ring is
+    quarantined (backlog dropped, device columns + detok zeroed —
+    batched, one clear per tick) and the STREAM keeps serving: the next
+    utterance decodes cleanly instead of carrying stale encoder state."""
+    from asr2pass_tpu.runtime.engine import _RING_SAMPLES
+
+    eng = StreamEngine(models, capacity=2, fused_fetch=True)
+    a = eng.open()
+    r1 = _drive_collect(eng, a, _wave(21, seconds=1.2))
+    assert any(r["mode"] == "2pass-online" for r in r1)
+    slot = eng.slots[a]
+    # inject a backlog whose oldest staged sample was overwritten; the
+    # decide-side counters advance in lockstep with the feed counter in
+    # production, so the injection must keep that invariant
+    jump = _RING_SAMPLES + 100_000
+    eng._abs_fed[a] += jump
+    slot.vd_abs += jump
+    slot.splitter_base += jump
+    with eng._stage_lock:
+        slot.p1_groups.append(
+            (int(eng._abs_fed[a]) - _RING_SAMPLES - 50_000, 16000, True))
+    eng.step()                      # quarantine fires in _asr_step
+    assert not slot.p1_groups
+    assert slot.p1_flush_at is None
+    assert slot.p1_ring_w == slot.p1_ring_r
+    # recovery: a fresh utterance on the same slot still produces
+    # partials (clean online caches + detok)
+    r2 = _drive_collect(eng, a, _wave(22, seconds=1.2))
+    assert any(r["mode"] == "2pass-online" for r in r2)
+    eng.shutdown()
