@@ -738,3 +738,43 @@ def test_per_connection_chunk_size_honored(models):
 
     final = asyncio.run(_with_server(models, run))
     assert final["is_final"] is True
+
+def test_engine_many_concurrent_clients(models):
+    """Soak: 12 concurrent websocket clients through one engine — every
+    connection gets exactly one final, partial/final wav_names never
+    cross-deliver, and the engine drains clean."""
+    import websockets
+
+    async def one(port, i):
+        pcm = _pcm(1.2 + 0.1 * (i % 4), seed=100 + i)
+        name = f"c{i}"
+        msgs = []
+        async with websockets.connect(f"ws://127.0.0.1:{port}",
+                                      max_size=1 << 30) as ws:
+            await ws.send(json.dumps({
+                "mode": "2pass", "wav_name": name, "wav_format": "pcm",
+                "audio_fs": 16000, "is_speaking": True}))
+            stride = int(0.6 * 16000 * 2)
+            for off in range(0, len(pcm), stride):
+                await ws.send(pcm[off: off + stride])
+                await asyncio.sleep(0.01)
+            await ws.send(json.dumps({"is_speaking": False}))
+            while True:
+                m = json.loads(await asyncio.wait_for(ws.recv(),
+                                                      timeout=180))
+                msgs.append(m)
+                if m.get("is_final"):
+                    return name, msgs
+
+    async def run(server, port):
+        res = await asyncio.gather(*[one(port, i) for i in range(12)])
+        for sid in range(server.engine.capacity):
+            assert server.engine.drained(sid)
+        return res
+
+    results = asyncio.run(_with_engine_server(models, run, capacity=16))
+    assert len(results) == 12
+    for name, msgs in results:
+        assert all(m["wav_name"] == name for m in msgs)
+        finals = [m for m in msgs if m.get("is_final")]
+        assert len(finals) == 1 and msgs[-1] is finals[0]
