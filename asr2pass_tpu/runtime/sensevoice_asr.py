@@ -7,12 +7,15 @@ recognize/recognize_batch + dispatch_batch/finish_batch interface as
 ParaformerOffline so it drops into OfflineRecognizer, TwoPassSession and
 the engine's fused-fetch pass-2 lane.
 
-Serving economics (CLAUDE.md round-trip rules): the decode never fetches
-[B, T, V] logits. Greedy runs ON DEVICE (models/sensevoice.greedy_ids —
-only [B, U] ids cross the wire); beam mode fetches the device-pruned
-[B, T, k] candidate set (parallel/ctc_shard.py, tp-sharded when the CTC
-head is vocab-sharded) plus the log-probs of the context graph's unit ids,
-force-included so pruning can never hide a hotword from the bias.
+Serving economics (CLAUDE.md round-trip rules): greedy runs ON DEVICE
+(models/sensevoice.greedy_ids — only [B, U] ids cross the wire); beam
+mode fetches the device-pruned [B, T, k] candidate set
+(parallel/ctc_shard.py, tp-sharded when the CTC head is vocab-sharded)
+plus the log-probs of the context graph's unit ids, force-included so
+pruning can never hide a hotword from the bias. The ONE path that
+fetches full [B, T, V] logits is TLG/WFST rescoring (the frame-
+synchronous search consumes whole rows) — a per-connection opt-in, and
+only the LM items of a batch pay it.
 """
 from __future__ import annotations
 
