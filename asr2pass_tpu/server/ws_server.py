@@ -59,18 +59,6 @@ def _parse_hotwords(msg) -> dict:
     return {w: 20 for w in str(msg).split() if w}
 
 
-def _safe_int(v, default):
-    """First-message option coercion: a malformed value degrades to the
-    default (the reference's TCLAP/json parsing never aborts a
-    connection over an option type, websocket-server-2pass.cpp:413-523)."""
-    try:
-        if v is None:
-            return default
-        return int(v)
-    except (TypeError, ValueError):
-        return default
-
-
 class ConnectionState:
     def __init__(self):
         self.mode = "2pass"
@@ -224,17 +212,41 @@ class AsrWsServer:
             st.itn = bool(obj.get("itn", st.itn))
             st.svs_lang = obj.get("svs_lang", st.svs_lang)
             st.svs_itn = bool(obj.get("svs_itn", st.svs_itn))
-            st.vad_tail_sil = _safe_int(obj.get("vad_tail_sil"), None)
-            st.vad_max_len = _safe_int(obj.get("vad_max_len"), None)
+            for fld in ("vad_tail_sil", "vad_max_len"):
+                v = obj.get(fld)
+                if v is None:
+                    setattr(st, fld, None)
+                else:
+                    try:
+                        setattr(st, fld, int(v))
+                    except (TypeError, ValueError):
+                        setattr(st, fld, None)
+                        bad.append(fld)
             cs = obj.get("chunk_size")
             if cs is not None:
-                try:
-                    cs = [int(x) for x in cs]
-                    assert len(cs) == 3 and all(x >= 0 for x in cs) \
-                        and cs[1] > 0
-                    st.chunk_size = cs
-                except (TypeError, ValueError, AssertionError):
+                if isinstance(cs, str):
+                    # FunASR-style CLI string form "5,10,5" (never
+                    # char-iterate a string — "585" must not silently
+                    # become [5, 8, 5])
+                    cs = cs.split(",")
+                parsed = None
+                if isinstance(cs, (list, tuple)) and len(cs) == 3:
+                    try:
+                        vals = [int(x) for x in cs]
+                    except (TypeError, ValueError):
+                        vals = None
+                    # bounded: every distinct geometry compiles its own
+                    # streaming program (40-90 s each via the tunnel) and
+                    # sizes device caches — an unbounded client value
+                    # would be a compile/memory DoS knob
+                    if (vals is not None and 1 <= vals[1] <= 128
+                            and 0 <= vals[0] <= 64
+                            and 0 <= vals[2] <= 64):
+                        parsed = vals
+                if parsed is None:
                     bad.append("chunk_size")
+                else:
+                    st.chunk_size = parsed
             try:
                 hotwords = _parse_hotwords(obj.get("hotwords"))
             except Exception:
@@ -258,15 +270,22 @@ class AsrWsServer:
                 st.hw_emb = self.models.compile_hotwords(hotwords)
             st.hotwords = hotwords
             if st.mode in ("2pass", "online") and not self.use_engine:
-                st.session = self.models.create_session(
-                    mode=st.mode, vad_tail_sil=st.vad_tail_sil,
-                    vad_max_len=st.vad_max_len, hw_emb=st.hw_emb,
-                    use_itn=st.itn, svs_lang=st.svs_lang,
-                    svs_itn=st.svs_itn,
-                    use_svs=self.models.svs_params is not None,
-                    hotwords=hotwords,
-                    chunk_size=st.chunk_size,
-                )
+                # session construction can do cold device work (a novel
+                # chunk_size geometry compiles a fresh streaming program
+                # through the tunnel) — keep it OFF the event loop so one
+                # connection's first message can never freeze the others
+                _hw, _cs = st.hw_emb, st.chunk_size
+                st.session = await loop.run_in_executor(
+                    self.executor,
+                    lambda: self.models.create_session(
+                        mode=st.mode, vad_tail_sil=st.vad_tail_sil,
+                        vad_max_len=st.vad_max_len, hw_emb=_hw,
+                        use_itn=st.itn, svs_lang=st.svs_lang,
+                        svs_itn=st.svs_itn,
+                        use_svs=self.models.svs_params is not None,
+                        hotwords=hotwords,
+                        chunk_size=_cs,
+                    ))
             elif (st.chunk_size is not None and self.use_engine
                   and st.mode != "offline"):
                 # the batched engine shares ONE chunk geometry across
