@@ -88,7 +88,21 @@ def compile_hotwords(params, cfg: HotwordConfig, words: List[str], vocab,
         hs, jnp.asarray(lens - 1)[:, None, None].astype(jnp.int32)
         .repeat(hs.shape[-1], axis=-1), axis=1
     )[:, 0, :]
-    out = jnp.concatenate([params["null"][None, :], rows], axis=0)
+    if "null" in params:
+        null_row = params["null"][None, :]
+    else:
+        # converted model_eb checkpoints carry no learned null row; the
+        # reference derives it by running the compiler on a single
+        # <s>-token entry (id 1, length 1) appended to the hotword batch
+        # (paraformer.cpp:645-649). Row position is irrelevant — the
+        # bias cross-attention has no positional encoding over hotword
+        # rows — so we keep it first like the trained-from-scratch
+        # convention.
+        blank = np.zeros((1, cfg.max_hotword_len), np.int32)
+        blank[0, 0] = 1
+        xb = embedding(params["embed"], jnp.asarray(blank))
+        null_row = lstm_apply(params["lstm"], xb)[:, 0, :]
+    out = jnp.concatenate([null_row, rows], axis=0)
     return np.asarray(out)
 
 

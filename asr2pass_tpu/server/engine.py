@@ -48,6 +48,7 @@ class ServerModels:
     itn: Any = None
     hotword_params: Any = None
     hotword_cfg: Any = None
+    seg_dict: Any = None               # EN word -> BPE pieces (SegDict)
     # SenseVoice (svs) pass-2 alternative (MODEL_SVS role)
     svs_params: Any = None
     svs_cfg: Any = None
@@ -127,7 +128,7 @@ class ServerModels:
 
         return hw_mod.compile_hotwords(
             self.hotword_params, self.hotword_cfg, list(hotwords.keys()),
-            self.vocab,
+            self.vocab, seg_dict=self.seg_dict,
         )
 
     def svs_context_graph(self, hotwords: Optional[dict]):

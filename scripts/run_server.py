@@ -151,6 +151,22 @@ def main():
         b = load_offline_bundle(args.model_dir)
         models = ServerModels(asr_params=b.params, asr_cfg=b.cfg,
                               vocab=b.vocab, asr_cmvn=b.cmvn)
+        # contextual/hotword checkpoints: the converted model_eb compiler
+        # rides inside the ASR weights (tools/convert_funasr.py maps
+        # bias_encoder/bias_embed -> hotword_compiler); wire it so
+        # first-message hotwords compile NN bias embeddings, with the
+        # model dir's seg_dict for English BPE pieces (the reference
+        # auto-loads both from the hotword model dir,
+        # funasr-wss-server-2pass.cpp:195-502)
+        if isinstance(b.params, dict) and "hotword_compiler" in b.params:
+            from asr2pass_tpu.config import HotwordConfig
+            from asr2pass_tpu.models.hotword import SegDict
+
+            models.hotword_params = b.params["hotword_compiler"]
+            models.hotword_cfg = HotwordConfig()
+            sd_path = os.path.join(args.model_dir, "seg_dict")
+            if os.path.exists(sd_path):
+                models.seg_dict = SegDict(sd_path)
         if args.online_model_dir:
             ob = load_offline_bundle(args.online_model_dir)
             models.online_params = ob.params

@@ -235,3 +235,41 @@ def test_hotword_compiler_conversion():
     got = np.asarray(lstm_apply(params["hotword_compiler"]["lstm"],
                                 jnp.asarray(emb[None])))[0]
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_converted_hotword_compiler_serves_without_null_row():
+    """A converted contextual checkpoint has no learned null row; the
+    compiler derives it the reference way (run the LSTM on a single
+    <s>-token entry, paraformer.cpp:645-649) and a ServerModels built
+    from such params compiles per-connection hotword embeddings (with
+    seg_dict BPE pieces for latin words)."""
+    import jax
+
+    from asr2pass_tpu.config import HotwordConfig
+    from asr2pass_tpu.models import hotword as hw_mod
+    from asr2pass_tpu.text.vocab import make_test_vocab
+
+    cfg = HotwordConfig(vocab_size=64, embed_dim=16, hidden_dim=16)
+    full = hw_mod.init(jax.random.PRNGKey(0), cfg)
+    converted = {"embed": full["embed"], "lstm": full["lstm"]}  # no null
+    vocab = make_test_vocab(64)
+    words = [vocab.id2token(10) + vocab.id2token(11), "hello"]
+    seg = hw_mod.SegDict()
+    seg.map["hello"] = [vocab.id2token(12), vocab.id2token(13)]
+    emb = hw_mod.compile_hotwords(converted, cfg, words, vocab,
+                                  seg_dict=seg)
+    assert emb.shape == (3, 16)
+    # the derived null equals the LSTM's response to the <s>-only entry
+    import numpy as np
+
+    from asr2pass_tpu.models.layers import embedding, lstm_apply
+
+    blank = np.zeros((1, cfg.max_hotword_len), np.int32)
+    blank[0, 0] = 1
+    want = np.asarray(lstm_apply(
+        full["lstm"], embedding(full["embed"], blank))[0, 0])
+    np.testing.assert_allclose(emb[0], want, atol=1e-6)
+    # seg_dict changed the latin tokenization: different row than the
+    # whole-token fallback
+    emb2 = hw_mod.compile_hotwords(converted, cfg, words, vocab)
+    assert not np.allclose(emb[2], emb2[2])
