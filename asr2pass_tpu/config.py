@@ -298,6 +298,88 @@ def load_paraformer_yaml(path: str) -> ParaformerConfig:
     )
 
 
+def load_punc_yaml(path: str) -> PuncConfig:
+    """Punc model-dir config.yaml -> PuncConfig.
+
+    Reads the dims the reference consumes when building the punc session
+    (ct-transformer.cpp:31-54 parses the same yaml family): encoder_conf
+    attention_heads/linear_units/num_blocks/kernel_size/output_size,
+    vocab from an embedded token_list, num_classes from punc_list.
+    Absent keys keep the CT-Transformer defaults."""
+    with open(path) as f:
+        node = yaml.safe_load(f) or {}
+    enc = node.get("encoder_conf") or {}
+    kw = {}
+    for k in ("attention_heads", "linear_units", "num_blocks",
+              "kernel_size"):
+        if k in enc:
+            kw[k] = int(enc[k])
+    if "sanm_shfit" in enc:            # FunASR spelling (sic)
+        kw["sanm_shift"] = int(enc["sanm_shfit"])
+    elif "sanm_shift" in enc:
+        kw["sanm_shift"] = int(enc["sanm_shift"])
+    d = enc.get("output_size")
+    if d:
+        kw["att_dim"] = int(d)
+        kw["embed_dim"] = int(d)
+    tl = node.get("token_list")
+    if isinstance(tl, list):
+        kw["vocab_size"] = len(tl)
+    elif node.get("vocab_size"):
+        kw["vocab_size"] = int(node["vocab_size"])
+    pl = node.get("punc_list")
+    if isinstance(pl, list) and pl:
+        kw["num_classes"] = len(pl)
+    return PuncConfig(**kw)
+
+
+def load_vad_yaml(path: str) -> VadConfig:
+    """VAD model-dir config.yaml -> VadConfig.
+
+    Reads the keys the reference consumes (fsmn-vad.cpp:31-47):
+    frontend_conf{fs, n_mels, frame_length, frame_shift, window, lfr_*}
+    and model_conf{max_end_silence_time, max_single_segment_time,
+    speech_noise_thres, ...}; sil_pdf_ids and the NN dims when present.
+    Unlisted keys keep the e2e-vad.h defaults."""
+    with open(path) as f:
+        node = yaml.safe_load(f) or {}
+    fe = node.get("frontend_conf") or {}
+    mc = node.get("model_conf") or {}
+    enc = node.get("encoder_conf") or {}
+    frontend = FrontendConfig(
+        fs=fe.get("fs", 16000), window=fe.get("window", "hamming"),
+        n_mels=fe.get("n_mels", 80),
+        frame_length_ms=fe.get("frame_length", 25),
+        frame_shift_ms=fe.get("frame_shift", 10),
+        lfr_m=fe.get("lfr_m", 5), lfr_n=fe.get("lfr_n", 1),
+        dither=fe.get("dither", 0.0))
+    kw = {}
+    for k in ("detect_mode", "max_end_silence_time",
+              "max_start_silence_time", "window_size_ms",
+              "sil_to_speech_time_thres", "speech_to_sil_time_thres",
+              "speech_2_noise_ratio", "do_extend",
+              "lookback_time_start_point", "lookahead_time_end_point",
+              "max_single_segment_time", "snr_thres",
+              "noise_frame_num_used_for_snr", "decibel_thres",
+              "speech_noise_thres"):
+        if k in mc:
+            kw[k] = mc[k]
+    if "sil_pdf_ids" in mc:
+        kw["sil_pdf_ids"] = tuple(int(i) for i in mc["sil_pdf_ids"])
+    for yk, ck in (("proj_dim", "proj_dim"),
+                   ("linear_dim", "hidden_dim"),
+                   ("output_dim", "output_dim"),
+                   ("fsmn_layers", "fsmn_layers"),
+                   ("lorder", "lorder"), ("rorder", "rorder")):
+        if yk in enc:
+            kw[ck] = int(enc[yk])
+    if "lorder" in kw:
+        kw.setdefault("cache_frames", kw["lorder"] - 1)
+    return VadConfig(frontend=frontend,
+                     input_dim=frontend.n_mels * frontend.lfr_m,
+                     sample_rate=frontend.fs, **kw)
+
+
 # ---------------------------------------------------------------------------
 # Canonical model presets (sizes match the published FunASR model family the
 # reference downloads from ModelScope; see funasr-wss-server-2pass.cpp:195-502)

@@ -37,10 +37,12 @@ def build_recognizer(args):
         asr = ParaformerOffline(b.params, b.cfg, b.vocab, cmvn=b.cmvn)
     vad_params = vad_cfg = vad_cmvn = None
     if args.vad_dir:
-        from asr2pass_tpu.config import VadConfig
+        from asr2pass_tpu.config import VadConfig, load_vad_yaml
         from asr2pass_tpu.frontend.audio import parse_kaldi_cmvn
 
-        vad_cfg = VadConfig()
+        vy = os.path.join(args.vad_dir, "config.yaml")
+        vad_cfg = (load_vad_yaml(vy) if os.path.exists(vy)
+                   else VadConfig())
         vad_params = load_params(os.path.join(args.vad_dir, "weights.npz"))
         mvn = os.path.join(args.vad_dir, "am.mvn")
         if os.path.exists(mvn):

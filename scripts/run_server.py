@@ -172,26 +172,39 @@ def main():
             models.online_params = ob.params
             models.online_cfg = ob.cfg
         if args.vad_dir:
-            from asr2pass_tpu.config import VadConfig
+            from asr2pass_tpu.config import VadConfig, load_vad_yaml
             from asr2pass_tpu.frontend.audio import parse_kaldi_cmvn
             from asr2pass_tpu.runtime.model_zoo import load_params
 
-            models.vad_cfg = VadConfig()
+            vy = os.path.join(args.vad_dir, "config.yaml")
+            models.vad_cfg = (load_vad_yaml(vy) if os.path.exists(vy)
+                              else VadConfig())
             models.vad_params = load_params(
                 os.path.join(args.vad_dir, "weights.npz"))
             mvn = os.path.join(args.vad_dir, "am.mvn")
             if os.path.exists(mvn):
                 models.vad_cmvn = parse_kaldi_cmvn(mvn)
         if args.punc_dir:
-            from asr2pass_tpu.config import PuncConfig
+            import yaml as _yaml
+
+            from asr2pass_tpu.config import PuncConfig, load_punc_yaml
             from asr2pass_tpu.runtime.model_zoo import load_params
             from asr2pass_tpu.text.punc_tokenizer import PuncTokenizer
 
-            models.punc_cfg = PuncConfig()
+            py = os.path.join(args.punc_dir, "config.yaml")
+            punc_list = None
+            if os.path.exists(py):
+                models.punc_cfg = load_punc_yaml(py)
+                with open(py) as f:
+                    punc_list = (_yaml.safe_load(f) or {}).get("punc_list")
+            else:
+                models.punc_cfg = PuncConfig()
             models.punc_params = load_params(
                 os.path.join(args.punc_dir, "weights.npz"))
+            tok_kw = ({"punc_list": punc_list}
+                      if isinstance(punc_list, list) and punc_list else {})
             models.punc_tokenizer = PuncTokenizer.from_file(
-                os.path.join(args.punc_dir, "tokens.json"))
+                os.path.join(args.punc_dir, "tokens.json"), **tok_kw)
     if getattr(args, "svs_dir", None):
         from asr2pass_tpu.runtime.model_zoo import load_svs_bundle
 

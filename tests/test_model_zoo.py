@@ -159,3 +159,56 @@ def test_svs_bundle_roundtrip(tmp_path):
         (np.random.default_rng(0).standard_normal(8000) * 0.1
          ).astype(np.float32))
     assert isinstance(text, str)
+
+
+def test_load_vad_yaml_reference_keys(tmp_path):
+    """The VAD dir's config.yaml drives VadConfig — the keys the
+    reference consumes (fsmn-vad.cpp:31-47) plus sil_pdf_ids/NN dims;
+    absent keys keep the e2e-vad.h defaults."""
+    from asr2pass_tpu.config import load_vad_yaml
+
+    p = tmp_path / "config.yaml"
+    p.write_text(
+        "frontend_conf:\n"
+        "  fs: 16000\n  n_mels: 80\n  frame_length: 25\n"
+        "  frame_shift: 10\n  window: hamming\n  lfr_m: 5\n  lfr_n: 1\n"
+        "model_conf:\n"
+        "  max_end_silence_time: 500\n"
+        "  max_single_segment_time: 30000\n"
+        "  speech_noise_thres: 0.8\n"
+        "  sil_pdf_ids: [0, 1]\n"
+        "encoder_conf:\n"
+        "  proj_dim: 96\n  lorder: 16\n")
+    cfg = load_vad_yaml(str(p))
+    assert cfg.max_end_silence_time == 500
+    assert cfg.max_single_segment_time == 30000
+    assert cfg.speech_noise_thres == 0.8
+    assert cfg.sil_pdf_ids == (0, 1)
+    assert cfg.proj_dim == 96
+    assert cfg.lorder == 16 and cfg.cache_frames == 15
+    assert cfg.input_dim == 400
+    # defaults survive for unlisted keys
+    assert cfg.max_start_silence_time == 3000
+    assert cfg.window_size_ms == 200
+
+
+def test_load_punc_yaml_reference_keys(tmp_path):
+    """The punc dir's config.yaml drives PuncConfig dims + punc classes
+    (ct-transformer.cpp yaml family); absent keys keep defaults."""
+    from asr2pass_tpu.config import load_punc_yaml
+
+    p = tmp_path / "config.yaml"
+    p.write_text(
+        "encoder_conf:\n"
+        "  output_size: 256\n  attention_heads: 8\n"
+        "  linear_units: 1024\n  num_blocks: 4\n  sanm_shfit: 5\n"
+        "punc_list: ['<unk>', '_', '，', '。', '？', '、']\n"
+        "vocab_size: 272727\n")
+    cfg = load_punc_yaml(str(p))
+    assert cfg.att_dim == 256 and cfg.embed_dim == 256
+    assert cfg.attention_heads == 8
+    assert cfg.linear_units == 1024
+    assert cfg.num_blocks == 4
+    assert cfg.sanm_shift == 5
+    assert cfg.num_classes == 6
+    assert cfg.vocab_size == 272727
