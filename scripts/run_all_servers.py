@@ -58,6 +58,8 @@ def build_cmd(entry: dict):
         cmd += ["--lm-dir", entry["lm_dir"]]
     if entry.get("hotword_file"):
         cmd += ["--hotword-file", entry["hotword_file"]]
+    if entry.get("itn_dir"):
+        cmd += ["--itn-dir", entry["itn_dir"]]
     if entry.get("tp_devices"):
         cmd += ["--tp-devices", str(entry["tp_devices"])]
     if entry.get("sp_devices"):

@@ -39,6 +39,11 @@ def main():
                                     "lm.arpa + lexicon.txt "
                                     "(tools/build_lm.py)")
     p.add_argument("--lm-weight", type=float, default=0.5)
+    p.add_argument("--itn-dir",
+                   help="ITN model dir holding zh_itn_tagger.fst + "
+                        "zh_itn_verbalizer.fst (the reference's "
+                        "--itn-model-dir; shorthand for the two flags "
+                        "below)")
     p.add_argument("--itn-tagger", help="compiled ITN tagger FST (the "
                                         "reference's zh_itn_tagger.fst)")
     p.add_argument("--itn-verbalizer",
@@ -227,6 +232,13 @@ def main():
             models.lexicon = Lexicon.from_file(
                 os.path.join(args.lm_dir, "lexicon.txt"))
         models.lm_weight = args.lm_weight
+    if getattr(args, "itn_dir", None):
+        args.itn_tagger = (args.itn_tagger
+                           or os.path.join(args.itn_dir,
+                                           "zh_itn_tagger.fst"))
+        args.itn_verbalizer = (args.itn_verbalizer
+                               or os.path.join(args.itn_dir,
+                                               "zh_itn_verbalizer.fst"))
     if getattr(args, "itn_tagger", None) and \
             getattr(args, "itn_verbalizer", None):
         from asr2pass_tpu.text.itn import FstITN
