@@ -24,6 +24,12 @@ class AudioFrame:
     is_final: bool = False
     global_start: int = 0   # ms
     global_end: int = 0     # ms
+    # exact epoch-sample range of `data` (samples fed since splitter
+    # reset): lets the engine's pass-2 lane gather the segment straight
+    # from the device audio ring instead of re-uploading data. -1 = not
+    # recorded.
+    samp_start: int = -1
+    samp_end: int = -1
 
 
 class TwoPassSplitter:
@@ -41,11 +47,16 @@ class TwoPassSplitter:
         self.speech_end = 0      # ms, total audio received
 
     def _slice_ms(self, start_ms: int, end_ms: int) -> np.ndarray:
-        a = start_ms * self.seg_sample - self.offset
-        b = end_ms * self.seg_sample - self.offset
-        a = max(a, 0)
-        b = min(b, len(self.all_samples))
-        return self.all_samples[a:b].copy()
+        a, b = self._range_ms(start_ms, end_ms)
+        return self.all_samples[a - self.offset: b - self.offset].copy()
+
+    def _range_ms(self, start_ms: int, end_ms: int):
+        """Epoch-sample range [a, b) the ms bounds resolve to after the
+        front/back clamps (_slice_ms slices exactly this)."""
+        a = max(start_ms * self.seg_sample, self.offset)
+        b = min(end_ms * self.seg_sample,
+                self.offset + len(self.all_samples))
+        return a, max(b, a)
 
     def feed(self, samples: np.ndarray, vad_events: List[List[int]],
              chunk_len: int, mode: str = "2pass"
@@ -92,6 +103,7 @@ class TwoPassSplitter:
                 if s != -1 and e != -1:
                     # closed segment arriving at once (audio.cpp:1302-1329)
                     data = self._slice_ms(s, e)
+                    sa, sb = self._range_ms(s, e)
                     if want_online:
                         online.append(AudioFrame(data=data.copy(),
                                                  is_final=True,
@@ -100,7 +112,9 @@ class TwoPassSplitter:
                     if want_offline:
                         offline.append(AudioFrame(data=data, is_final=True,
                                                   global_start=s,
-                                                  global_end=e))
+                                                  global_end=e,
+                                                  samp_start=sa,
+                                                  samp_end=sb))
                     self.speech_start = -1
                     self.speech_offline_start = -1
                 elif s != -1:
@@ -115,11 +129,15 @@ class TwoPassSplitter:
                         self.speech_offline_start = max(
                             self.speech_offline_start, 0)
                     if want_offline:
+                        sa, sb = self._range_ms(self.speech_offline_start,
+                                                e)
                         offline.append(AudioFrame(
                             data=self._slice_ms(self.speech_offline_start, e),
                             is_final=True,
                             global_start=self.speech_offline_start,
                             global_end=e,
+                            samp_start=sa,
+                            samp_end=sb,
                         ))
                     if want_online:
                         if e > self.speech_start:

@@ -55,14 +55,19 @@ def _vad_bucket(fcfg) -> int:
 
 # device-resident per-slot audio ring (samples; int16): written ONCE by
 # the fused VAD step from its staged upload, read by the fused pass-1
-# step — raw audio crosses the tunnel exactly once per tick. 2^17
-# samples = 8.2 s per slot; pass-1 lags the ring writer by at most the
-# decide lane + splitter retention (~2-3 s), so 8 s is ample margin.
-_RING_SAMPLES = 1 << 17
+# step AND (since round 5) gathered by the pass-2 lane — raw audio
+# crosses the tunnel exactly once per tick and pass-2 re-uploads
+# NOTHING. Default 2^19 samples = 32.8 s per slot: enough for the
+# longest 2pass segment (vad_max_len default 15-20 s) plus several
+# seconds of lane-dispatch lag; engines can size it down
+# (ring_samples=) where memory is tighter than segment length (the
+# pre-round-5 2^17 served pass-1 alone).
+_RING_SAMPLES = 1 << 19
 
 
 @functools.lru_cache(maxsize=4)
-def _fused_vad_step(fcfg, capacity: int, sil_pdf_ids=(0,)):
+def _fused_vad_step(fcfg, capacity: int, sil_pdf_ids=(0,),
+                    ring_samples: int = _RING_SAMPLES):
     """One jitted program: batched fbank -> LFR window gather -> CMVN ->
     FSMN-VAD NN, with the lfr_m-1 mel frames of cross-tick context held in
     a device-resident history ring.
@@ -104,7 +109,7 @@ def _fused_vad_step(fcfg, capacity: int, sil_pdf_ids=(0,)):
         # host caps staging so a write never straddles the ring end;
         # start2/shift realign when the fixed-length window would.
         shift = ring_off - jnp.minimum(ring_off,
-                                       _RING_SAMPLES - max_new)
+                                       ring_samples - max_new)
         start2 = ring_off - shift
         j = jnp.arange(max_new)[None, :]
         src = jnp.clip(j - shift[:, None], 0, max_new - 1)
@@ -165,7 +170,8 @@ _P1_FRAMES = 68          # max new mel frames staged per pass-1 round
 
 
 @functools.lru_cache(maxsize=4)
-def _fused_p1_step(ocfg, capacity: int):
+def _fused_p1_step(ocfg, capacity: int,
+                   ring_samples: int = _RING_SAMPLES):
     """One jitted program for the whole pass-1 lane: batched fbank over the
     staged speech samples -> LFR window gather -> CMVN -> append into a
     device-resident pending-feats ring -> consume one exact-`center` chunk
@@ -309,9 +315,11 @@ class StreamEngine:
                  pass2_async: bool = False, pipeline: bool = True,
                  vad_async: bool = False, fused_fetch: bool = False,
                  upload_overlap: bool = False,
-                 decide_async: bool = False):
+                 decide_async: bool = False,
+                 ring_samples: int = _RING_SAMPLES):
         self.models = models
         self.capacity = capacity
+        self._ring_samples = ring_samples
         self.mode = mode
         ocfg = models.online_cfg or models.asr_cfg
         self.ocfg = ocfg
@@ -336,7 +344,8 @@ class StreamEngine:
         fcfg = models.vad_cfg.frontend
         (self._vad_step, self._vad_need,
          self._vad_max_new) = _fused_vad_step(
-            fcfg, capacity, tuple(models.vad_cfg.sil_pdf_ids))
+            fcfg, capacity, tuple(models.vad_cfg.sil_pdf_ids),
+            ring_samples)
         vmeans, vvars = (models.vad_cmvn if models.vad_cmvn is not None
                          else (np.zeros(fcfg.lfr_dim, np.float32),
                                np.ones(fcfg.lfr_dim, np.float32)))
@@ -348,7 +357,7 @@ class StreamEngine:
         self._vad_next = np.zeros(capacity, np.int64)
         # fused pass-1 front-end+model program + device-resident buffers
         (self._p1_step, self._p1_need, self._p1_hist_n, self._p1_ring_n,
-         self._p1_kmax) = _fused_p1_step(ocfg, capacity)
+         self._p1_kmax) = _fused_p1_step(ocfg, capacity, ring_samples)
         afc = ocfg.frontend
         ameans, avars = (models.asr_cmvn if models.asr_cmvn is not None
                          else (np.zeros(afc.lfr_dim, np.float32),
@@ -361,7 +370,7 @@ class StreamEngine:
             (capacity, self._p1_ring_n, afc.lfr_dim), jnp.float32)
         # device audio ring: written once per tick by the fused VAD step,
         # read by the fused pass-1 step (one upload serves both passes)
-        self._audio_ring = jnp.zeros((capacity, _RING_SAMPLES), jnp.int16)
+        self._audio_ring = jnp.zeros((capacity, ring_samples), jnp.int16)
         self._abs_fed = np.zeros(capacity, np.int64)
         # pass-1 / pass-2 priority lanes (SURVEY §7 "latency vs batching
         # tension"): with pass2_async the tick never runs offline decodes —
@@ -820,7 +829,8 @@ class StreamEngine:
             # leftovers re-queue for the next tick
             cap_samples = min(
                 max_samples,
-                _RING_SAMPLES - int(self._abs_fed[sid]) % _RING_SAMPLES)
+                self._ring_samples
+                - int(self._abs_fed[sid]) % self._ring_samples)
             while slot.audio_in and total < cap_samples:
                 s, f = slot.audio_in.pop(0)
                 take = min(len(s), cap_samples - total)
@@ -856,9 +866,9 @@ class StreamEngine:
             # from the device ring inside the step
             n = len(samples)
             waves[sid, :n] = (samples * 32768.0).astype(np.int16)
-            ring_off[sid] = self._abs_fed[sid] % _RING_SAMPLES
+            ring_off[sid] = self._abs_fed[sid] % self._ring_samples
             win_off[sid] = ((self._abs_fed[sid] - (len(buf) - n))
-                            % _RING_SAMPLES)
+                            % self._ring_samples)
             n_samp[sid] = n
             self._abs_fed[sid] += n
             n_new[sid] = nf
@@ -987,6 +997,14 @@ class StreamEngine:
             )
             online_frames, offline_frames = slot.splitter.feed(
                 samples, events, self.chunk_len, self.mode)
+            # convert offline frames' epoch-sample ranges to GLOBAL
+            # absolute coordinates NOW (splitter_base moves on utterance
+            # finals; the pass-2 lane consumes these much later) — they
+            # let the lane gather segments straight from the device ring
+            for fr in offline_frames:
+                if fr.samp_start >= 0:
+                    fr.samp_start += slot.splitter_base
+                    fr.samp_end += slot.splitter_base
             # online speech as ABSOLUTE sample ranges into the device
             # audio ring (nothing re-uploads): consecutive frames of one
             # utterance are contiguous in the fed stream, so a group is
@@ -1085,13 +1103,13 @@ class StreamEngine:
                     oldest = (slot.p1_cursor if slot.p1_residual
                               else slot.p1_groups[0][0])
                     if (self._abs_fed[sid] - oldest
-                            > _RING_SAMPLES - self._p1_need):
+                            > self._ring_samples - self._p1_need):
                         import logging
 
                         logging.getLogger("asr2pass.engine").error(
                             "slot %d pass-1 backlog exceeds the device "
                             "audio ring (%d samples); dropping its "
-                            "pass-1 backlog", sid, _RING_SAMPLES)
+                            "pass-1 backlog", sid, self._ring_samples)
                         slot.p1_groups.clear()
                         slot.p1_residual = 0
                         slot.p1_total = 0
@@ -1127,7 +1145,7 @@ class StreamEngine:
                     lbuf = slot.p1_residual + total
                     n = ((lbuf - flen) // shift + 1
                          if lbuf >= flen else 0)
-                    start_off[sid] = slot.p1_cursor % _RING_SAMPLES
+                    start_off[sid] = slot.p1_cursor % self._ring_samples
                     slot.p1_cursor += n * shift
                     slot.p1_residual = 0 if fe_fin else lbuf - n * shift
                     n_new[sid] = n
@@ -1352,6 +1370,63 @@ class StreamEngine:
                         if idx not in done:
                             slot.p2_inflight -= 1
 
+    def _ring_feats_override(self, pairs):
+        """feats_override closure for the pass-2 recognizers: segments
+        whose samples still live in the device audio ring are gathered
+        there (fbank+LFR+CMVN fused, ZERO re-upload — the one per-tick
+        audio upload serves both passes for real now); anything stale,
+        un-ranged or too long falls back to the int16 upload path.
+
+        Freshness is re-checked AFTER the gather is dispatched: staging
+        advances _abs_fed BEFORE enqueueing ring writes, so if the
+        window still fits under the post-dispatch _abs_fed snapshot, no
+        write that could precede the gather on the device stream can
+        have overwritten it."""
+        if self.mode == "online" or self.offline is None:
+            return None
+        fcfg = self.offline.asr.cfg.frontend
+        means, vars_ = self.offline.asr.cmvn
+        r = self._ring_samples
+        margin = 16 * self._vad_max_new
+        frames = [fr for _, _, fr in pairs]
+        sids = [sid for sid, _, _ in pairs]
+
+        def override(idxs, bucket, bb):
+            from asr2pass_tpu.frontend.fbank import num_frames
+            from asr2pass_tpu.runtime.streaming_frontend import (
+                ring_frontend_device,
+            )
+
+            need = (fcfg.frame_length
+                    + (bucket * fcfg.lfr_n - 1) * fcfg.frame_shift)
+            if need > r - margin:
+                return None
+            slot_ids, offs, ns = [], [], []
+            for i in idxs:
+                fr = frames[i]
+                sid = sids[i]
+                if (fr.samp_start < 0
+                        or fr.samp_end - fr.samp_start != len(fr.data)
+                        or int(self._abs_fed[sid]) - fr.samp_start
+                        > r - need - margin):
+                    return None
+                slot_ids.append(sid)
+                offs.append(fr.samp_start)
+                ns.append(num_frames(len(fr.data), fcfg))
+            feats = ring_frontend_device(self._audio_ring, slot_ids,
+                                         offs, ns, bucket, fcfg, means,
+                                         vars_, batch_b=bb)
+            if feats is None:
+                return None
+            # post-dispatch freshness verification (see docstring)
+            for i in idxs:
+                if (int(self._abs_fed[sids[i]]) - frames[i].samp_start
+                        > r - need):
+                    return None
+            return feats
+
+        return override
+
     def _process_segments(self, pairs, settled=None):
         """Offline-decode segments with each owner's per-connection options
         (hotwords, LM, ITN, svs lang) and post results to the slots.
@@ -1368,6 +1443,7 @@ class StreamEngine:
 
         slots = [slot for _, slot, _ in pairs]
         segs = [fr.data for _, _, fr in pairs]
+        feats_override = self._ring_feats_override(pairs)
         if isinstance(self.offline.asr, SenseVoiceOffline):
             # SenseVoice pass-2: per-item lang/itn prefix ids + hotword
             # context graphs + optional per-connection TLG rescoring
@@ -1377,7 +1453,8 @@ class StreamEngine:
             outs = self.offline.asr.recognize_batch(
                 segs, langs=[s.svs_lang for s in slots],
                 itn_flags=[s.svs_itn for s in slots],
-                contexts=[s.svs_context for s in slots], **kw)
+                contexts=[s.svs_context for s in slots],
+                feats_override=feats_override, **kw)
         else:
             kw = {}
             if any(s.hw_emb is not None for s in slots):
@@ -1390,7 +1467,8 @@ class StreamEngine:
             # tried and measured WORSE (159 vs 225 streams): the tick
             # then waits on pass-2 forward compute, and the lane stalls
             # on the tick instead of pipelining its next batch
-            outs = self.offline.asr.recognize_batch(segs, **kw)
+            outs = self.offline.asr.recognize_batch(
+                segs, feats_override=feats_override, **kw)
         for idx, ((text, merged), (sid, slot, fr)) in enumerate(
                 zip(outs, pairs)):
             res = None

@@ -16,8 +16,10 @@ import numpy as np
 
 from asr2pass_tpu.config import ParaformerConfig
 from asr2pass_tpu.models import paraformer
-from asr2pass_tpu.runtime.streaming_frontend import (offline_frontend,
-                                                     offline_frontend_batch)
+from asr2pass_tpu.runtime.streaming_frontend import (
+    offline_frontend,
+    offline_frontend_device,
+)
 from asr2pass_tpu.text import timestamps as ts_mod
 from asr2pass_tpu.text.vocab import Vocab
 
@@ -130,7 +132,8 @@ class ParaformerOffline:
     def recognize_batch(self, segments: List[np.ndarray],
                         hw_emb: Optional[np.ndarray] = None,
                         hw_embs: Optional[List] = None,
-                        lm_decoders: Optional[List] = None
+                        lm_decoders: Optional[List] = None,
+                        feats_override=None
                         ) -> List[Tuple[str, List[List[float]]]]:
         """Batch of raw-sample segments -> [(text, token_timestamps_s)].
 
@@ -152,24 +155,38 @@ class ParaformerOffline:
 
         pending, handles = self.dispatch_batch(
             segments, hw_emb=hw_emb, hw_embs=hw_embs,
-            lm_decoders=lm_decoders)
+            lm_decoders=lm_decoders, feats_override=feats_override)
         fetched = jax.device_get(tuple(handles)) if handles else ()
         return self.finish_batch(pending, fetched)
 
     def dispatch_batch(self, segments: List[np.ndarray],
                        hw_emb: Optional[np.ndarray] = None,
                        hw_embs: Optional[List] = None,
-                       lm_decoders: Optional[List] = None):
+                       lm_decoders: Optional[List] = None,
+                       feats_override=None):
         """Phase A of recognize_batch: front-end + device DISPATCH only.
         Returns (pending, handles) — `handles` is a flat list of device
         arrays whose values finish_batch() needs; callers that own a
         combined per-tick fetch (the engine's fused tick) batch them with
-        every other fetch so the tunnel round-trip is paid ONCE."""
+        every other fetch so the tunnel round-trip is paid ONCE.
+
+        The front-end runs ON DEVICE (offline_frontend_device): raw
+        samples upload once as int16 and fbank+LFR+CMVN feed the model
+        without any mel fetch or feats re-upload — the old
+        fetch-mel/upload-feats shape moved ~4 MB per 60 s segment over
+        the tunnel and its serialized device->host mel legs stalled the
+        engine tick at steady state (capacity-256 soak)."""
+        from asr2pass_tpu.frontend.fbank import num_frames
+        from asr2pass_tpu.frontend.lfr import lfr_len
+
         means, vars_ = self.cmvn
-        feats = offline_frontend_batch(segments, self.cfg.frontend,
-                                       means, vars_)
+        fcfg = self.cfg.frontend
+        bufs = [np.asarray(s, np.float32) for s in segments]
+        ns = [num_frames(len(b), fcfg) for b in bufs]
+        t_lfrs = [lfr_len(n, fcfg.lfr_m, fcfg.lfr_n) if n else 0
+                  for n in ns]
         if hw_embs is None:
-            hw_embs = [hw_emb] * len(feats)
+            hw_embs = [hw_emb] * len(bufs)
 
         def lm_for(i):
             if lm_decoders is not None and lm_decoders[i] is not None:
@@ -177,43 +194,41 @@ class ParaformerOffline:
             return self.lm_decoder
 
         results: List[Optional[Tuple[str, List[List[float]]]]] = \
-            [None] * len(feats)
+            [None] * len(bufs)
         # group indices by (feature bucket, hotword batching key); segments
         # past the SP threshold take the sequence-parallel path solo
         groups = {}
         sp_idxs = []
-        for i, f in enumerate(feats):
-            if f.shape[0] == 0:
+        for i, t in enumerate(t_lfrs):
+            if t == 0:
                 results[i] = ("", [])
                 continue
-            if (self.sp_mesh is not None
-                    and f.shape[0] > self.sp_threshold):
+            if self.sp_mesh is not None and t > self.sp_threshold:
                 sp_idxs.append(i)
                 continue
             hw = hw_embs[i]
             hw_key = 0 if hw is None else _hw_bucket(hw.shape[0])
-            groups.setdefault((_bucket(f.shape[0]), hw_key), []).append(i)
+            groups.setdefault((_bucket(t), hw_key), []).append(i)
         chunks = [(bucket, hw_key, idxs[j: j + _MAX_BATCH])
                   for (bucket, hw_key), idxs in groups.items()
                   for j in range(0, len(idxs), _MAX_BATCH)]
         # SP segments batch by padded length (one sharded forward per
-        # group instead of one per segment)
+        # group instead of one per segment); their feats stay host-side
+        # (the time-sharded encoder takes explicit arrays)
         sp_groups = {}
         for i in sp_idxs:
-            sp_groups.setdefault(
-                self._sp_pad_t(feats[i].shape[0]), []).append(i)
+            sp_groups.setdefault(self._sp_pad_t(t_lfrs[i]), []).append(i)
         for idxs in sp_groups.values():
-            out = self._forward_sp([feats[i] for i in idxs],
-                                   [feats[i].shape[0] for i in idxs])
+            sp_feats = [offline_frontend(bufs[i], fcfg, means, vars_)
+                        for i in idxs]
+            out = self._forward_sp(sp_feats, [t_lfrs[i] for i in idxs])
             for k, i in enumerate(idxs):
                 results[i] = self._postprocess_one(
-                    out, k, feats[i].shape[0], lm_for(i))
+                    out, k, t_lfrs[i], lm_for(i))
         records = []
         handles: list = []
         for bucket, hw_key, idxs in chunks:
             bb = _batch_bucket(len(idxs))
-            batch = np.zeros((bb, bucket, self.cfg.frontend.lfr_dim),
-                             np.float32)
             lens = [0] * bb   # padded rows have length 0 (mask empty)
             hw_batch = hw_lens = None
             if hw_key:
@@ -221,13 +236,20 @@ class ParaformerOffline:
                 hw_batch = np.zeros((bb, hw_key, d_model), np.float32)
                 hw_lens = [0] * bb
             for k, i in enumerate(idxs):
-                f = feats[i]
-                batch[k, : f.shape[0]] = f
-                lens[k] = f.shape[0]
+                lens[k] = t_lfrs[i]
                 if hw_key:
                     hw = hw_embs[i]
                     hw_batch[k, : hw.shape[0]] = hw
                     hw_lens[k] = hw.shape[0]
+            # feats_override(idxs, bucket, bb): the engine's pass-2
+            # lane serves segments straight from the device audio ring
+            # (zero re-upload); None falls back to the int16 upload path
+            batch = (feats_override(idxs, bucket, bb)
+                     if feats_override is not None else None)
+            if batch is None:
+                batch = offline_frontend_device(
+                    [bufs[i] for i in idxs], [ns[i] for i in idxs],
+                    bucket, fcfg, means, vars_, batch_b=bb)
             out = self._forward(batch, lens, hw_batch, hw_lens)
             ids, counts = paraformer.greedy_ids(out)
             any_lm = any(lm_for(i) is not None for i in idxs)

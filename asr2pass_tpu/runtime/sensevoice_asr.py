@@ -29,7 +29,7 @@ from asr2pass_tpu.config import SenseVoiceConfig
 from asr2pass_tpu.decode.context_graph import ContextGraph
 from asr2pass_tpu.models import sensevoice
 from asr2pass_tpu.models.sensevoice import NUM_META
-from asr2pass_tpu.runtime.streaming_frontend import offline_frontend_batch
+from asr2pass_tpu.runtime.streaming_frontend import offline_frontend_device
 from asr2pass_tpu.text.vocab import Vocab
 
 _BUCKETS = [64, 128, 256, 512, 1024]
@@ -108,7 +108,8 @@ class SenseVoiceOffline:
                        langs: Optional[List[Optional[str]]] = None,
                        itn_flags: Optional[List[Optional[bool]]] = None,
                        contexts: Optional[List] = None,
-                       lm_decoders: Optional[List] = None):
+                       lm_decoders: Optional[List] = None,
+                       feats_override=None):
         """Phase A: front-end + device DISPATCH only. Returns
         (pending, handles); `handles` are the device arrays finish_batch
         needs — the engine's fused tick batches their fetch with every
@@ -120,23 +121,29 @@ class SenseVoiceOffline:
         not NN embeddings — callers pass `contexts` (per segment) or
         construct the recognizer with `context=`.
         """
+        from asr2pass_tpu.frontend.fbank import num_frames
+        from asr2pass_tpu.frontend.lfr import lfr_len
+
         means, vars_ = self.cmvn
-        feats = offline_frontend_batch(segments, self.cfg.frontend,
-                                       means, vars_)
+        fcfg = self.cfg.frontend
+        bufs = [np.asarray(s, np.float32) for s in segments]
+        ns = [num_frames(len(b), fcfg) for b in bufs]
+        t_lfrs = [lfr_len(n, fcfg.lfr_m, fcfg.lfr_n) if n else 0
+                  for n in ns]
 
         def lm_for(i):
             if lm_decoders is not None and lm_decoders[i] is not None:
                 return lm_decoders[i]
             return self.lm_decoder
 
-        results: List[Optional[Tuple[str, list]]] = [None] * len(feats)
-        metas: List[Optional[List[int]]] = [None] * len(feats)
+        results: List[Optional[Tuple[str, list]]] = [None] * len(bufs)
+        metas: List[Optional[List[int]]] = [None] * len(bufs)
         groups = {}
-        for i, f in enumerate(feats):
-            if f.shape[0] == 0:
+        for i, t in enumerate(t_lfrs):
+            if t == 0:
                 results[i] = ("", [])
                 continue
-            groups.setdefault(_bucket(f.shape[0]), []).append(i)
+            groups.setdefault(_bucket(t), []).append(i)
         # batch dim rides power-of-2 buckets capped at 16 like the
         # Paraformer path (bounded XLA programs; offline_asr._MAX_BATCH)
         chunks = [(bucket, idxs[j: j + _MAX_BATCH])
@@ -148,12 +155,17 @@ class SenseVoiceOffline:
             bb = 1
             while bb < len(idxs):
                 bb *= 2
-            batch = np.zeros((bb, bucket, self.cfg.frontend.lfr_dim),
-                             np.float32)
             lens = [0] * bb
             for k, i in enumerate(idxs):
-                batch[k, : feats[i].shape[0]] = feats[i]
-                lens[k] = feats[i].shape[0]
+                lens[k] = t_lfrs[i]
+            # device front-end: ring-gather (engine lane, zero upload)
+            # or one int16 audio upload; never a mel round-trip
+            batch = (feats_override(idxs, bucket, bb)
+                     if feats_override is not None else None)
+            if batch is None:
+                batch = offline_frontend_device(
+                    [bufs[i] for i in idxs], [ns[i] for i in idxs],
+                    bucket, fcfg, means, vars_, batch_b=bb)
             lid, tn = self._meta_ids(bb)
             for k, i in enumerate(idxs):
                 if langs is not None and langs[i] is not None:
@@ -164,7 +176,7 @@ class SenseVoiceOffline:
                              if itn_flags[i]
                              else self.cfg.textnorm_dict["woitn"])
             out = sensevoice.apply_jit(
-                self.params, self.cfg, jnp.asarray(batch),
+                self.params, self.cfg, batch,
                 jnp.asarray(lens, jnp.int32), jnp.asarray(lid),
                 jnp.asarray(tn),
             )
@@ -315,6 +327,7 @@ class SenseVoiceOffline:
                         itn_flags: Optional[List[Optional[bool]]] = None,
                         contexts: Optional[List] = None,
                         lm_decoders: Optional[List] = None,
+                        feats_override=None,
                         with_meta: bool = False
                         ) -> List[Tuple[str, list]]:
         """langs[i]/itn_flags[i]/contexts[i] override the recognizer-level
@@ -326,7 +339,8 @@ class SenseVoiceOffline:
         result tuples."""
         pending, handles = self.dispatch_batch(
             segments, hw_emb=hw_emb, langs=langs, itn_flags=itn_flags,
-            contexts=contexts, lm_decoders=lm_decoders)
+            contexts=contexts, lm_decoders=lm_decoders,
+            feats_override=feats_override)
         fetched = jax.device_get(tuple(handles)) if handles else ()
         return self.finish_batch(pending, fetched, with_meta=with_meta)
 

@@ -13,8 +13,11 @@ frame depends only on its own 400-sample window.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from asr2pass_tpu.config import FrontendConfig
@@ -168,6 +171,140 @@ def batched_fbank(bufs, ns, cfg: FrontendConfig, coarse: bool = False):
     return [mel[i, : ns[i]] for i in range(k)]
 
 
+@functools.lru_cache(maxsize=64)
+def _offline_frontend_prog(fcfg: FrontendConfig, b: int, lfr_bucket: int):
+    """One jitted program: int16 audio -> fbank -> LFR gather -> CMVN,
+    producing DEVICE feats the pass-2 model consumes directly."""
+    ex = get_extractor(fcfg)
+    m, n = fcfg.lfr_m, fcfg.lfr_n
+    mel_bucket = lfr_bucket * n
+    need = fcfg.frame_length + (mel_bucket - 1) * fcfg.frame_shift
+    left = (m - 1) // 2
+    frame_idx = (np.arange(mel_bucket)[:, None] * fcfg.frame_shift
+                 + np.arange(fcfg.frame_length)[None, :])
+    lfr_idx = (np.arange(lfr_bucket)[:, None] * n
+               + np.arange(m)[None, :] - left)
+
+    @jax.jit
+    def fn(waves, n_mel, means, vars_):
+        frames = waves[:, frame_idx].astype(jnp.float32)
+        mel = ex.frames_to_mel(
+            (frames * (fcfg.scale_input / 32768.0)
+             ).reshape(b * mel_bucket, -1)).reshape(b, mel_bucket, -1)
+        # exact apply_lfr semantics: taps clamped per item to the valid
+        # mel rows (first-frame left pad + last-frame tail repeat);
+        # rows past an item's ceil(n/lfr_n) are repeats the model masks
+        idx = jnp.clip(jnp.asarray(lfr_idx)[None], 0,
+                       jnp.maximum(n_mel - 1, 0)[:, None, None])
+        feats = jnp.take_along_axis(
+            mel, idx.reshape(b, -1)[:, :, None], axis=1
+        ).reshape(b, lfr_bucket, m * fcfg.n_mels)
+        return (feats + means) * vars_
+
+    return fn, need
+
+
+def offline_frontend_device(bufs, ns, lfr_bucket: int,
+                            cfg: FrontendConfig, means=None, vars_=None,
+                            batch_b: int = None):
+    """Device-resident offline front-end for one pass-2 chunk: segments'
+    samples upload ONCE as int16 (PCM-grid exact after quantize_pcm) and
+    fbank+LFR+CMVN run fused on device, returning the [B, lfr_bucket,
+    lfr_dim] feats ARRAY the model forward consumes — nothing comes back
+    to the host. Replaces the fetch-mel-then-upload-feats shape of
+    offline_frontend_batch on serving paths, whose device->host mel
+    traffic (~1.9 s per 256-segment round at the tunnel's ~30 MB/s)
+    serialized with the engine tick's fused fetch and collapsed
+    steady-state throughput."""
+    from asr2pass_tpu.frontend.audio import quantize_pcm
+
+    if batch_b is None:
+        batch_b = len(bufs)
+    fn, need = _offline_frontend_prog(cfg, batch_b, lfr_bucket)
+    waves = np.zeros((batch_b, need), np.int16)
+    n_mel = np.zeros(batch_b, np.int32)
+    for i, (buf, nf) in enumerate(zip(bufs, ns)):
+        k = min(len(buf), need)
+        waves[i, :k] = (quantize_pcm(np.asarray(buf[:k], np.float32))
+                        * 32768.0).astype(np.int16)
+        n_mel[i] = nf
+    if means is None:
+        means = np.zeros(cfg.lfr_dim, np.float32)
+    if vars_ is None:
+        vars_ = np.ones(cfg.lfr_dim, np.float32)
+    return fn(jnp.asarray(waves), jnp.asarray(n_mel),
+              jnp.asarray(means, jnp.float32),
+              jnp.asarray(vars_, jnp.float32))
+
+
+@functools.lru_cache(maxsize=64)
+def _ring_frontend_prog(fcfg: FrontendConfig, b: int, lfr_bucket: int,
+                        ring_samples: int):
+    """Ring variant of _offline_frontend_prog: the segment windows are
+    GATHERED from the engine's per-slot device audio ring (written once
+    per tick by the fused VAD step) instead of uploading samples — the
+    pass-2 lane re-uploaded ~57 MB per 256-segment round of audio the
+    device already held."""
+    ex = get_extractor(fcfg)
+    m, n = fcfg.lfr_m, fcfg.lfr_n
+    mel_bucket = lfr_bucket * n
+    need = fcfg.frame_length + (mel_bucket - 1) * fcfg.frame_shift
+    left = (m - 1) // 2
+    frame_idx = (np.arange(mel_bucket)[:, None] * fcfg.frame_shift
+                 + np.arange(fcfg.frame_length)[None, :])
+    lfr_idx = (np.arange(lfr_bucket)[:, None] * n
+               + np.arange(m)[None, :] - left)
+
+    @jax.jit
+    def fn(ring, slot_ids, start_off, n_mel, means, vars_):
+        rows = ring[slot_ids]                       # [b, R]
+        ext = jnp.concatenate([rows, rows[:, :need]], axis=1)
+        win = jax.vmap(
+            lambda r, s: jax.lax.dynamic_slice(r, (s,), (need,))
+        )(ext, start_off)
+        frames = win[:, frame_idx].astype(jnp.float32)
+        mel = ex.frames_to_mel(
+            (frames * (fcfg.scale_input / 32768.0)
+             ).reshape(b * mel_bucket, -1)).reshape(b, mel_bucket, -1)
+        idx = jnp.clip(jnp.asarray(lfr_idx)[None], 0,
+                       jnp.maximum(n_mel - 1, 0)[:, None, None])
+        feats = jnp.take_along_axis(
+            mel, idx.reshape(b, -1)[:, :, None], axis=1
+        ).reshape(b, lfr_bucket, m * fcfg.n_mels)
+        return (feats + means) * vars_
+
+    return fn, need
+
+
+def ring_frontend_device(ring, slot_ids, abs_starts, ns, lfr_bucket: int,
+                         cfg: FrontendConfig, means=None, vars_=None,
+                         batch_b: int = None):
+    """Device feats for segments that still live in the per-slot audio
+    ring: fbank+LFR+CMVN over ring-gathered windows — the pass-2 lane
+    uploads NOTHING for these. Returns None when the window would not
+    fit the ring (caller falls back to offline_frontend_device)."""
+    if batch_b is None:
+        batch_b = len(slot_ids)
+    r = ring.shape[1]
+    fn, need = _ring_frontend_prog(cfg, batch_b, lfr_bucket, r)
+    if need > r:
+        return None
+    sl = np.zeros(batch_b, np.int32)
+    off = np.zeros(batch_b, np.int32)
+    n_mel = np.zeros(batch_b, np.int32)
+    for i, (sid, a, nf) in enumerate(zip(slot_ids, abs_starts, ns)):
+        sl[i] = sid
+        off[i] = a % r
+        n_mel[i] = nf
+    if means is None:
+        means = np.zeros(cfg.lfr_dim, np.float32)
+    if vars_ is None:
+        vars_ = np.ones(cfg.lfr_dim, np.float32)
+    return fn(ring, jnp.asarray(sl), jnp.asarray(off),
+              jnp.asarray(n_mel), jnp.asarray(means, jnp.float32),
+              jnp.asarray(vars_, jnp.float32))
+
+
 def offline_frontend(samples, cfg: FrontendConfig, means=None, vars_=None):
     """One-shot front-end (fbank -> LFR -> CMVN), the offline reference
     path (paraformer.cpp:309-323,421-461). Returns [T_lfr, lfr_dim]."""
@@ -183,37 +320,3 @@ def offline_frontend(samples, cfg: FrontendConfig, means=None, vars_=None):
     if vars_ is None:
         vars_ = np.ones(cfg.lfr_dim, np.float32)
     return np.asarray(apply_cmvn(feats, means, vars_))
-
-
-def offline_frontend_batch(segments, cfg: FrontendConfig,
-                           means=None, vars_=None):
-    """offline_frontend over many segments with a handful of device fbank
-    calls — per-segment dispatches are a network round-trip each on a
-    remote-execution backend. Segments are length-sorted and chunked (16
-    per call, like the model-batch cap) so one long outlier can't pad the
-    whole batch to 60 s, and the frame axis rides coarse power-of-2
-    buckets (bounded XLA programs). LFR/CMVN stay on host (O(T) numpy)."""
-    from asr2pass_tpu.frontend.lfr import apply_cmvn, apply_lfr
-
-    if means is None:
-        means = np.zeros(cfg.lfr_dim, np.float32)
-    if vars_ is None:
-        vars_ = np.ones(cfg.lfr_dim, np.float32)
-    bufs = [np.asarray(s, np.float32) for s in segments]
-    ns = [num_frames(len(b), cfg) for b in bufs]
-    order = sorted(range(len(bufs)), key=lambda i: ns[i])
-    mels: list = [None] * len(bufs)
-    for j in range(0, len(order), 16):
-        idxs = order[j: j + 16]
-        got = batched_fbank([bufs[i] for i in idxs],
-                            [ns[i] for i in idxs], cfg, coarse=True)
-        for i, mel in zip(idxs, got):
-            mels[i] = mel
-    out = []
-    for mel in mels:
-        if mel.shape[0] == 0:
-            out.append(np.zeros((0, cfg.lfr_dim), np.float32))
-            continue
-        feats = np.asarray(apply_lfr(mel, cfg.lfr_m, cfg.lfr_n))
-        out.append(np.asarray(apply_cmvn(feats, means, vars_)))
-    return out

@@ -555,23 +555,22 @@ def test_engine_fused_fetch_matches_sync(models):
 
 
 def test_engine_long_stream_ring_wrap(models):
-    """A stream longer than the device audio ring (2^17 samples ≈ 8.2 s)
-    exercises the ring-wrap write path (boundary-capped staging) and the
-    wrap-reading pass-1 gather; results must equal a fresh engine fed the
-    same audio in two shorter utterances... more simply: equal the
-    TwoPassSession reference on the same 12 s wave."""
+    """A stream longer than the device audio ring exercises the
+    ring-wrap write path (boundary-capped staging) and the wrap-reading
+    pass-1 gather; results must equal the TwoPassSession reference on
+    the same 12 s wave. Uses a small explicit ring (the pre-round-5
+    2^17 default) so the wrap happens without feeding 33+ s."""
     wave = _wave(41, seconds=12.0)
+    ring = 1 << 17
 
     session = models.create_session(mode="2pass")
     ref = _drive_session_basic(session, wave)
 
-    eng = StreamEngine(models, capacity=2)
+    eng = StreamEngine(models, capacity=2, ring_samples=ring)
     sid = eng.open()
     got = _drive(eng, sid, wave)
     # absolute position crossed the ring boundary
-    from asr2pass_tpu.runtime.engine import _RING_SAMPLES
-
-    assert eng._abs_fed[sid] > _RING_SAMPLES or len(wave) > _RING_SAMPLES
+    assert eng._abs_fed[sid] > ring or len(wave) > ring
     assert _texts(got, "2pass-online") == _texts(ref, "2pass-online")
     assert _texts(got, "2pass-offline") == _texts(ref, "2pass-offline")
     assert _texts(got, "2pass-online")      # non-degenerate
@@ -771,4 +770,35 @@ def test_ring_overrun_quarantine_recovers(models):
     # partials (clean online caches + detok)
     r2 = _drive_collect(eng, a, _wave(22, seconds=1.2))
     assert any(r["mode"] == "2pass-online" for r in r2)
+    eng.shutdown()
+
+
+def test_engine_pass2_serves_from_ring(models, monkeypatch):
+    """Fresh segments decode from the device audio ring (zero re-upload):
+    the lane's feats come from ring_frontend_device, and the upload path
+    is never touched for a live stream."""
+    import asr2pass_tpu.runtime.offline_asr as oa
+    import asr2pass_tpu.runtime.streaming_frontend as sf
+
+    calls = {"ring": 0, "upload": 0}
+    real_ring = sf.ring_frontend_device
+
+    def spy_ring(*a, **k):
+        calls["ring"] += 1
+        return real_ring(*a, **k)
+
+    real_up = oa.offline_frontend_device
+
+    def spy_up(*a, **k):
+        calls["upload"] += 1
+        return real_up(*a, **k)
+
+    monkeypatch.setattr(sf, "ring_frontend_device", spy_ring)
+    monkeypatch.setattr(oa, "offline_frontend_device", spy_up)
+    eng = StreamEngine(models, capacity=2)
+    sid = eng.open()
+    res = _drive(eng, sid, _wave(31, seconds=2.5))
+    assert any(r["mode"] == "2pass-offline" for r in res)
+    assert calls["ring"] > 0
+    assert calls["upload"] == 0
     eng.shutdown()

@@ -172,3 +172,35 @@ def test_wav_pcm_roundtrip(tmp_path):
     np.testing.assert_allclose(x, pcm.astype(np.float32) / 32768.0)
     y = load_pcm_bytes(pcm.tobytes())
     np.testing.assert_allclose(x, y)
+
+
+def test_offline_frontend_device_matches_host():
+    """The device-fused offline front-end (int16 upload -> fbank -> LFR
+    gather -> CMVN, offline_frontend_device) equals the host
+    offline_frontend on PCM-grid input, row for row across a padded
+    batch of different lengths."""
+    from asr2pass_tpu.config import FrontendConfig
+    from asr2pass_tpu.frontend.audio import quantize_pcm
+    from asr2pass_tpu.frontend.fbank import num_frames
+    from asr2pass_tpu.frontend.lfr import lfr_len
+    from asr2pass_tpu.runtime.streaming_frontend import (
+        offline_frontend,
+        offline_frontend_device,
+    )
+
+    cfg = FrontendConfig()
+    rng = np.random.default_rng(3)
+    means = rng.standard_normal(cfg.lfr_dim).astype(np.float32)
+    vars_ = (rng.random(cfg.lfr_dim).astype(np.float32) + 0.5)
+    bufs = [quantize_pcm(rng.standard_normal(n).astype(np.float32) * 0.1)
+            for n in (16000, 9000, 4000)]
+    ns = [num_frames(len(b), cfg) for b in bufs]
+    t_lfrs = [lfr_len(n, cfg.lfr_m, cfg.lfr_n) for n in ns]
+    bucket = 64
+    dev = np.asarray(offline_frontend_device(bufs, ns, bucket, cfg,
+                                             means, vars_, batch_b=4))
+    assert dev.shape == (4, bucket, cfg.lfr_dim)
+    for i, b in enumerate(bufs):
+        host = offline_frontend(b, cfg, means, vars_)
+        assert host.shape[0] == t_lfrs[i]
+        np.testing.assert_allclose(dev[i, : t_lfrs[i]], host, atol=2e-4)
