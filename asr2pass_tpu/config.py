@@ -308,6 +308,10 @@ def load_punc_yaml(path: str) -> PuncConfig:
     Absent keys keep the CT-Transformer defaults."""
     with open(path) as f:
         node = yaml.safe_load(f) or {}
+    return punc_cfg_from_node(node)
+
+
+def punc_cfg_from_node(node: dict) -> PuncConfig:
     enc = node.get("encoder_conf") or {}
     kw = {}
     for k in ("attention_heads", "linear_units", "num_blocks",

@@ -73,36 +73,37 @@ def compile_hotwords(params, cfg: HotwordConfig, words: List[str], vocab,
     """[N hotwords] -> [N+1, D] embeddings (row 0 = null)."""
     if not words:
         return None
-    n = len(words)
+    # converted model_eb checkpoints carry no learned null row; the
+    # reference derives it by running the compiler on a single <s>-token
+    # entry (id 1, length 1) IN the hotword batch (paraformer.cpp:
+    # 645-649) — same here, as row 0, so the whole compile stays ONE
+    # device dispatch. Row position is irrelevant: the bias
+    # cross-attention has no positional encoding over hotword rows.
+    derive_null = "null" not in params
+    n = len(words) + (1 if derive_null else 0)
     ids = np.zeros((n, cfg.max_hotword_len), np.int32)
     lens = np.zeros(n, np.int32)
+    off = 0
+    if derive_null:
+        ids[0, 0] = 1
+        lens[0] = 1
+        off = 1
     for i, w in enumerate(words):
         toks = tokenize_hotword(w, vocab, seg_dict, cfg.max_hotword_len)
         if not toks:
             toks = [0]
-        ids[i, : len(toks)] = toks
-        lens[i] = len(toks)
+        ids[off + i, : len(toks)] = toks
+        lens[off + i] = len(toks)
     x = embedding(params["embed"], jnp.asarray(ids))
     hs = lstm_apply(params["lstm"], x)          # [N, L, H]
     rows = jnp.take_along_axis(
         hs, jnp.asarray(lens - 1)[:, None, None].astype(jnp.int32)
         .repeat(hs.shape[-1], axis=-1), axis=1
     )[:, 0, :]
-    if "null" in params:
-        null_row = params["null"][None, :]
+    if derive_null:
+        out = rows
     else:
-        # converted model_eb checkpoints carry no learned null row; the
-        # reference derives it by running the compiler on a single
-        # <s>-token entry (id 1, length 1) appended to the hotword batch
-        # (paraformer.cpp:645-649). Row position is irrelevant — the
-        # bias cross-attention has no positional encoding over hotword
-        # rows — so we keep it first like the trained-from-scratch
-        # convention.
-        blank = np.zeros((1, cfg.max_hotword_len), np.int32)
-        blank[0, 0] = 1
-        xb = embedding(params["embed"], jnp.asarray(blank))
-        null_row = lstm_apply(params["lstm"], xb)[:, 0, :]
-    out = jnp.concatenate([null_row, rows], axis=0)
+        out = jnp.concatenate([params["null"][None, :], rows], axis=0)
     return np.asarray(out)
 
 

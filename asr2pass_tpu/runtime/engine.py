@@ -1394,11 +1394,11 @@ class StreamEngine:
         def override(idxs, bucket, bb):
             from asr2pass_tpu.frontend.fbank import num_frames
             from asr2pass_tpu.runtime.streaming_frontend import (
+                offline_window_samples,
                 ring_frontend_device,
             )
 
-            need = (fcfg.frame_length
-                    + (bucket * fcfg.lfr_n - 1) * fcfg.frame_shift)
+            need = offline_window_samples(fcfg, bucket)
             if need > r - margin:
                 return None
             slot_ids, offs, ns = [], [], []

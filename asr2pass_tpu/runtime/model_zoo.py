@@ -141,6 +141,32 @@ def load_offline_bundle(path: str) -> OfflineBundle:
     return OfflineBundle(params=params, cfg=cfg, vocab=vocab, cmvn=cmvn)
 
 
+def load_punc_dir(path: str):
+    """Punc model dir -> (params, PuncConfig, PuncTokenizer): weights +
+    the dir's config.yaml dims/punc_list + tokens.json — the one loader
+    run_server and tools/transcribe (and through it eval_cer) share, so
+    every entry point honors the same yaml contract
+    (ct-transformer.cpp's session ingredients)."""
+    import yaml
+
+    from asr2pass_tpu.text.punc_tokenizer import PuncTokenizer
+
+    params = load_params(os.path.join(path, "weights.npz"))
+    cfg = cfg_mod.PuncConfig()
+    punc_list = None
+    py = os.path.join(path, "config.yaml")
+    if os.path.exists(py):
+        with open(py) as f:
+            node = yaml.safe_load(f) or {}
+        cfg = cfg_mod.punc_cfg_from_node(node)
+        punc_list = node.get("punc_list")
+    kw = ({"punc_list": punc_list}
+          if isinstance(punc_list, list) and punc_list else {})
+    tokenizer = PuncTokenizer.from_file(
+        os.path.join(path, "tokens.json"), **kw)
+    return params, cfg, tokenizer
+
+
 # -- SenseVoice (svs) bundle ------------------------------------------------
 
 @dataclass

@@ -171,35 +171,53 @@ def batched_fbank(bufs, ns, cfg: FrontendConfig, coarse: bool = False):
     return [mel[i, : ns[i]] for i in range(k)]
 
 
-@functools.lru_cache(maxsize=64)
-def _offline_frontend_prog(fcfg: FrontendConfig, b: int, lfr_bucket: int):
-    """One jitted program: int16 audio -> fbank -> LFR gather -> CMVN,
-    producing DEVICE feats the pass-2 model consumes directly."""
-    ex = get_extractor(fcfg)
+def offline_window_samples(fcfg: FrontendConfig, lfr_bucket: int) -> int:
+    """Samples one lfr_bucket window of the offline front-end consumes —
+    the ONE place the need arithmetic lives (upload program, ring
+    program, and the engine's ring-eligibility check all use it)."""
+    return (fcfg.frame_length
+            + (lfr_bucket * fcfg.lfr_n - 1) * fcfg.frame_shift)
+
+
+def _frontend_feats(ex, fcfg: FrontendConfig, b: int, lfr_bucket: int,
+                    win, n_mel, means, vars_):
+    """Shared traced tail of the fused offline front-end: [b, need]
+    int16 windows -> fbank -> LFR gather -> CMVN -> [b, lfr_bucket,
+    lfr_dim]. Exact apply_lfr semantics: taps clamped per item to the
+    valid mel rows (first-frame left pad + last-frame tail repeat);
+    rows past an item's ceil(n/lfr_n) are repeats the model masks.
+    `ex` (the fbank extractor) must be constructed OUTSIDE the trace —
+    its cached filterbank constants would otherwise leak as tracers."""
     m, n = fcfg.lfr_m, fcfg.lfr_n
     mel_bucket = lfr_bucket * n
-    need = fcfg.frame_length + (mel_bucket - 1) * fcfg.frame_shift
     left = (m - 1) // 2
     frame_idx = (np.arange(mel_bucket)[:, None] * fcfg.frame_shift
                  + np.arange(fcfg.frame_length)[None, :])
     lfr_idx = (np.arange(lfr_bucket)[:, None] * n
                + np.arange(m)[None, :] - left)
+    frames = win[:, frame_idx].astype(jnp.float32)
+    mel = ex.frames_to_mel(
+        (frames * (fcfg.scale_input / 32768.0)
+         ).reshape(b * mel_bucket, -1)).reshape(b, mel_bucket, -1)
+    idx = jnp.clip(jnp.asarray(lfr_idx)[None], 0,
+                   jnp.maximum(n_mel - 1, 0)[:, None, None])
+    feats = jnp.take_along_axis(
+        mel, idx.reshape(b, -1)[:, :, None], axis=1
+    ).reshape(b, lfr_bucket, m * fcfg.n_mels)
+    return (feats + means) * vars_
+
+
+@functools.lru_cache(maxsize=64)
+def _offline_frontend_prog(fcfg: FrontendConfig, b: int, lfr_bucket: int):
+    """One jitted program: int16 audio -> fbank -> LFR gather -> CMVN,
+    producing DEVICE feats the pass-2 model consumes directly."""
+    need = offline_window_samples(fcfg, lfr_bucket)
+    ex = get_extractor(fcfg)
 
     @jax.jit
     def fn(waves, n_mel, means, vars_):
-        frames = waves[:, frame_idx].astype(jnp.float32)
-        mel = ex.frames_to_mel(
-            (frames * (fcfg.scale_input / 32768.0)
-             ).reshape(b * mel_bucket, -1)).reshape(b, mel_bucket, -1)
-        # exact apply_lfr semantics: taps clamped per item to the valid
-        # mel rows (first-frame left pad + last-frame tail repeat);
-        # rows past an item's ceil(n/lfr_n) are repeats the model masks
-        idx = jnp.clip(jnp.asarray(lfr_idx)[None], 0,
-                       jnp.maximum(n_mel - 1, 0)[:, None, None])
-        feats = jnp.take_along_axis(
-            mel, idx.reshape(b, -1)[:, :, None], axis=1
-        ).reshape(b, lfr_bucket, m * fcfg.n_mels)
-        return (feats + means) * vars_
+        return _frontend_feats(ex, fcfg, b, lfr_bucket, waves, n_mel,
+                               means, vars_)
 
     return fn, need
 
@@ -244,16 +262,10 @@ def _ring_frontend_prog(fcfg: FrontendConfig, b: int, lfr_bucket: int,
     GATHERED from the engine's per-slot device audio ring (written once
     per tick by the fused VAD step) instead of uploading samples — the
     pass-2 lane re-uploaded ~57 MB per 256-segment round of audio the
-    device already held."""
+    device already held. The fbank/LFR/CMVN tail is the SAME traced
+    helper as the upload program, so the two paths cannot diverge."""
+    need = offline_window_samples(fcfg, lfr_bucket)
     ex = get_extractor(fcfg)
-    m, n = fcfg.lfr_m, fcfg.lfr_n
-    mel_bucket = lfr_bucket * n
-    need = fcfg.frame_length + (mel_bucket - 1) * fcfg.frame_shift
-    left = (m - 1) // 2
-    frame_idx = (np.arange(mel_bucket)[:, None] * fcfg.frame_shift
-                 + np.arange(fcfg.frame_length)[None, :])
-    lfr_idx = (np.arange(lfr_bucket)[:, None] * n
-               + np.arange(m)[None, :] - left)
 
     @jax.jit
     def fn(ring, slot_ids, start_off, n_mel, means, vars_):
@@ -262,16 +274,8 @@ def _ring_frontend_prog(fcfg: FrontendConfig, b: int, lfr_bucket: int,
         win = jax.vmap(
             lambda r, s: jax.lax.dynamic_slice(r, (s,), (need,))
         )(ext, start_off)
-        frames = win[:, frame_idx].astype(jnp.float32)
-        mel = ex.frames_to_mel(
-            (frames * (fcfg.scale_input / 32768.0)
-             ).reshape(b * mel_bucket, -1)).reshape(b, mel_bucket, -1)
-        idx = jnp.clip(jnp.asarray(lfr_idx)[None], 0,
-                       jnp.maximum(n_mel - 1, 0)[:, None, None])
-        feats = jnp.take_along_axis(
-            mel, idx.reshape(b, -1)[:, :, None], axis=1
-        ).reshape(b, lfr_bucket, m * fcfg.n_mels)
-        return (feats + means) * vars_
+        return _frontend_feats(ex, fcfg, b, lfr_bucket, win, n_mel,
+                               means, vars_)
 
     return fn, need
 

@@ -49,15 +49,10 @@ def build_recognizer(args):
             vad_cmvn = parse_kaldi_cmvn(mvn)
     punc = None
     if args.punc_dir:
-        from asr2pass_tpu.config import PuncConfig
+        from asr2pass_tpu.runtime.model_zoo import load_punc_dir
         from asr2pass_tpu.runtime.punc import Punctuator
-        from asr2pass_tpu.text.punc_tokenizer import PuncTokenizer
 
-        punc = Punctuator(
-            load_params(os.path.join(args.punc_dir, "weights.npz")),
-            PuncConfig(),
-            PuncTokenizer.from_file(os.path.join(args.punc_dir,
-                                                 "tokens.json")))
+        punc = Punctuator(*load_punc_dir(args.punc_dir))
     itn = None
     if args.itn:
         from asr2pass_tpu.text.itn import ChineseITN

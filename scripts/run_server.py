@@ -190,26 +190,10 @@ def main():
             if os.path.exists(mvn):
                 models.vad_cmvn = parse_kaldi_cmvn(mvn)
         if args.punc_dir:
-            import yaml as _yaml
+            from asr2pass_tpu.runtime.model_zoo import load_punc_dir
 
-            from asr2pass_tpu.config import PuncConfig, load_punc_yaml
-            from asr2pass_tpu.runtime.model_zoo import load_params
-            from asr2pass_tpu.text.punc_tokenizer import PuncTokenizer
-
-            py = os.path.join(args.punc_dir, "config.yaml")
-            punc_list = None
-            if os.path.exists(py):
-                models.punc_cfg = load_punc_yaml(py)
-                with open(py) as f:
-                    punc_list = (_yaml.safe_load(f) or {}).get("punc_list")
-            else:
-                models.punc_cfg = PuncConfig()
-            models.punc_params = load_params(
-                os.path.join(args.punc_dir, "weights.npz"))
-            tok_kw = ({"punc_list": punc_list}
-                      if isinstance(punc_list, list) and punc_list else {})
-            models.punc_tokenizer = PuncTokenizer.from_file(
-                os.path.join(args.punc_dir, "tokens.json"), **tok_kw)
+            (models.punc_params, models.punc_cfg,
+             models.punc_tokenizer) = load_punc_dir(args.punc_dir)
     if getattr(args, "svs_dir", None):
         from asr2pass_tpu.runtime.model_zoo import load_svs_bundle
 
