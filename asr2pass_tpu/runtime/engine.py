@@ -461,6 +461,31 @@ class StreamEngine:
             self._upload_pool = concurrent.futures.ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="upload-lane")
 
+    def warm_pass2_ring(self, buckets=(64, 128, 256),
+                        batches=(4, 16)):
+        """Compile the pass-2 RING front-end programs for the common
+        (lfr-bucket, batch) combos before serving — the lane's ring
+        gather uses different programs than the upload path, and a cold
+        combo otherwise compiles mid-serving (a 40-90 s tunnel compile
+        that lands as a tick-latency spike; the 64-tick soak's p95
+        outliers were exactly these)."""
+        if self.offline is None:
+            return
+        from asr2pass_tpu.runtime.streaming_frontend import (
+            offline_window_samples,
+            ring_frontend_device,
+        )
+
+        fcfg = self.offline.asr.cfg.frontend
+        means, vars_ = self.offline.asr.cmvn
+        for bucket in buckets:
+            if offline_window_samples(fcfg, bucket) > self._ring_samples:
+                continue
+            for bb in batches:
+                ring_frontend_device(
+                    self._audio_ring, [0] * bb, [0] * bb, [1] * bb,
+                    bucket, fcfg, means, vars_, batch_b=bb)
+
     def warmup(self):
         """Compile the batched VAD + ASR steps before serving traffic
         (first-compile is minutes on remote-compile TPU backends), and

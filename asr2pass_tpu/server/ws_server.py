@@ -552,6 +552,8 @@ class AsrWsServer:
                                        decide_async=self.decide_async)
             await asyncio.get_running_loop().run_in_executor(
                 self.executor, self.engine.warmup)
+            await asyncio.get_running_loop().run_in_executor(
+                self.executor, self.engine.warm_pass2_ring)
             self._engine_lock = asyncio.Lock()
             self._engine_wakeup = asyncio.Event()
             self._engine_task = asyncio.get_running_loop().create_task(

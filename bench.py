@@ -183,6 +183,9 @@ def bench_engine(args):
             segs = [(rng0.standard_normal(int(16000 * secs)) * 0.1)
                     .astype(np.float32) for _ in range(count)]
             eng.offline.asr.recognize_batch(segs)
+        # ...and the RING variants of the pass-2 front-end (the lane's
+        # serving path; different programs than the upload warm above)
+        eng.warm_pass2_ring(buckets=(64, 128, 256), batches=(1, 4, 8, 16))
     sids = [eng.open() for _ in range(s)]
     rng = np.random.default_rng(0)
     # bursty audio so the (random-weight) VAD automaton produces endpoints
