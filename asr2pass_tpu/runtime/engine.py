@@ -358,6 +358,13 @@ class StreamEngine:
         # fused pass-1 front-end+model program + device-resident buffers
         (self._p1_step, self._p1_need, self._p1_hist_n, self._p1_ring_n,
          self._p1_kmax) = _fused_p1_step(ocfg, capacity, ring_samples)
+        if ring_samples < self._p1_need + 4 * self._vad_max_new:
+            # below this, the pass-1 backlog guard quarantines healthy
+            # streams (window + a few ticks of decide-lane lag must fit)
+            raise ValueError(
+                f"ring_samples={ring_samples} too small: pass-1 needs a "
+                f"{self._p1_need}-sample window plus staging lag "
+                f"(>= {self._p1_need + 4 * self._vad_max_new})")
         afc = ocfg.frontend
         ameans, avars = (models.asr_cmvn if models.asr_cmvn is not None
                          else (np.zeros(afc.lfr_dim, np.float32),

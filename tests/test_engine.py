@@ -802,3 +802,29 @@ def test_engine_pass2_serves_from_ring(models, monkeypatch):
     assert calls["ring"] > 0
     assert calls["upload"] == 0
     eng.shutdown()
+
+
+def test_engine_pass2_ring_fallback_equivalence(models):
+    """With a ring too small for ring-served pass-2 (freshness margin
+    can never hold), the lane falls back to the upload front-end — and
+    the results are identical to the ring-served engine."""
+    w = _wave(33, seconds=2.5)
+
+    ring_served = StreamEngine(models, capacity=2)
+    a = ring_served.open()
+    ra = _drive(ring_served, a, w)
+
+    # 2^16 = 4.1 s: plenty for pass-1, but far below the pass-2
+    # freshness margin (16 * max_new) -> the lane always falls back
+    tiny_ring = StreamEngine(models, capacity=2, ring_samples=1 << 16)
+    b = tiny_ring.open()
+    rb = _drive(tiny_ring, b, w)
+
+    def text_of(res, mode):
+        return "".join(r["text"] for r in res if r["mode"] == mode)
+
+    assert text_of(rb, "2pass-online") == text_of(ra, "2pass-online")
+    assert text_of(rb, "2pass-offline") == text_of(ra, "2pass-offline")
+    assert text_of(ra, "2pass-offline")
+    ring_served.shutdown()
+    tiny_ring.shutdown()
